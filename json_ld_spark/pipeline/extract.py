@@ -1,0 +1,167 @@
+"""Triple extraction: transcripts → triples via an Arrow-batched kernel.
+
+This is operator U1 of SURVEY.md §2 — the ``mapInPandas`` stage that wraps
+the whole kernel (A1-A33): per Arrow batch, each JSON-bearing turn's
+documents are parsed, their contexts resolved against the broadcast context
+dictionary (compiled once per Python worker and memoized), expanded to
+triples, and fanned out 1→N. Errors never abort the job: they become
+quarantine rows with the exact reference error code (src/error.rs taxonomy)
+carried in ``error_code`` (FIXTURES.md §5.4).
+
+Scale design:
+- The candidate-turn filter (``tool IS NOT NULL OR text LIKE '%<jsonld>%'``)
+  runs JVM-side *before* the Python boundary so non-JSON turns never cross
+  Arrow.
+- Only (conv_id, turn_idx, text, tool) are selected → column pruning reaches
+  the parquet scan.
+- The context-compile cache is per-worker and keyed by the canonical JSON of
+  the ``@context`` value: ~10^1 distinct contexts vs ~10^12 turns means the
+  per-document cost is dict lookups + the expansion walk only.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterator, Mapping, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..contexts import ContextDict
+from ..kernel import (
+    Context,
+    JsonLdError,
+    ProcessorOptions,
+    expand_document,
+    expanded_to_triples,
+    process_context,
+)
+
+TRIPLE_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("subj", StringType()),
+        StructField("pred", StringType()),
+        StructField("obj_kind", StringType()),
+        StructField("obj_value", StringType()),
+        StructField("obj_type", StringType()),
+        StructField("obj_lang", StringType()),
+        StructField("obj_direction", StringType()),
+        StructField("graph", StringType()),
+        StructField("error_code", StringType()),
+    ]
+)
+
+_INLINE_RE = re.compile(r"<jsonld>(.*?)</jsonld>", re.DOTALL)
+
+_TRIPLE_COLS = [f.name for f in TRIPLE_SCHEMA.fields]
+
+
+class TurnExpander:
+    """Per-worker expansion kernel with a context-compile cache."""
+
+    def __init__(self, raw_contexts: Mapping[str, dict], document_iri: str) -> None:
+        self.processor = ProcessorOptions(
+            document_iri=document_iri, context_loader=dict(raw_contexts)
+        )
+        self.document_iri = document_iri
+        self._cache: dict[str, Context] = {}
+
+    def _active_context(self, ctx_value) -> Context:
+        key = json.dumps(ctx_value, sort_keys=True, separators=(",", ":"))
+        ctx = self._cache.get(key)
+        if ctx is None:
+            ctx = process_context(
+                self.processor, Context(base=self.document_iri),
+                ctx_value, self.document_iri,
+            )
+            self._cache[key] = ctx
+        return ctx
+
+    def expand_turn(self, conv_id: str, turn_idx: int, text, tool) -> list[tuple]:
+        """All triples (or quarantine rows) for one turn."""
+        out: list[tuple] = []
+        docs: list[str] = []
+        if isinstance(tool, str) and tool:
+            docs.append(tool)
+        if isinstance(text, str) and "<jsonld>" in text:
+            docs.extend(_INLINE_RE.findall(text))
+        for raw in docs:
+            try:
+                doc = json.loads(raw)
+            except (json.JSONDecodeError, ValueError):
+                out.append(
+                    (conv_id, turn_idx, None, None, None, None, None, None,
+                     None, None, "loading document failed")
+                )
+                continue
+            try:
+                ctx_value = doc.get("@context") if isinstance(doc, Mapping) else None
+                if ctx_value is not None:
+                    active = self._active_context(ctx_value)
+                    body = {k: v for k, v in doc.items() if k != "@context"}
+                else:
+                    active = Context(base=self.document_iri)
+                    body = doc
+                expanded = expand_document(self.processor, active, body)
+                for t in expanded_to_triples(expanded):
+                    out.append(
+                        (conv_id, turn_idx, t["subj"], t["pred"], t["obj_kind"],
+                         t["obj_value"], t["obj_type"], t["obj_lang"],
+                         t["obj_direction"], t["graph"], None)
+                    )
+            except JsonLdError as e:
+                out.append(
+                    (conv_id, turn_idx, None, None, None, None, None, None,
+                     None, None, e.code.value)
+                )
+        return out
+
+
+def extract_triples(
+    transcripts: DataFrame,
+    contexts: Optional[ContextDict] = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """transcripts → triples DataFrame (quarantine rows included;
+    filter ``error_code IS NULL`` for clean triples).
+
+    Plan shape: parquet scan (pruned to 4 cols, candidate filter pushed) →
+    mapInPandas kernel → optional dropDuplicates (hash agg, partial+final).
+    """
+    contexts = contexts or ContextDict()
+    raw_contexts = contexts.raw
+    document_iri = contexts.document_iri
+
+    candidates = transcripts.select("conv_id", "turn_idx", "text", "tool").where(
+        F.col("tool").isNotNull() | F.col("text").contains("<jsonld>")
+    )
+
+    def expand_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        expander = TurnExpander(raw_contexts, document_iri)
+        for pdf in batches:
+            rows: list[tuple] = []
+            for conv_id, turn_idx, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
+            ):
+                rows.extend(expander.expand_turn(conv_id, int(turn_idx), text, tool))
+            yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
+
+    triples = candidates.mapInPandas(expand_batches, schema=TRIPLE_SCHEMA)
+    if dedup:
+        # G1 — exact triple dedup; keeps per-turn provenance (conv_id,
+        # turn_idx are part of the key so lineage survives)
+        triples = triples.dropDuplicates(
+            ["conv_id", "turn_idx", "subj", "pred", "obj_kind", "obj_value",
+             "obj_type", "obj_lang", "obj_direction", "graph", "error_code"]
+        )
+    return triples

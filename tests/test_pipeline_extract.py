@@ -1,0 +1,110 @@
+"""End-to-end extraction tests on local Spark (SURVEY.md §5.2 item 3).
+
+The golden oracle is the Spark-free kernel itself: the same turns are
+expanded driver-side and compared exactly (P/R == 1.0 ⊃ the ≥0.95 gate).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.contexts import ContextDict
+from json_ld_spark.pipeline.extract import TurnExpander, extract_triples
+from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, sf_dir):
+    return synth_transcripts(spark, sf_dir).cache()
+
+
+def test_transcript_shape_and_determinism(spark, transcripts):
+    assert transcripts.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    dtypes = dict(transcripts.dtypes)
+    assert dtypes["turn_idx"] == "int"
+    assert dtypes["ts"] == "timestamp"
+    # (conv_id, turn_idx) is a key
+    n = transcripts.count()
+    assert n > 0
+    assert transcripts.select("conv_id", "turn_idx").distinct().count() == n
+    # deterministic regeneration
+    again = synth_transcripts(spark, "/root/testdata/sf0.001")
+    assert again.exceptAll(transcripts).count() == 0
+    assert transcripts.exceptAll(again).count() == 0
+
+
+def test_extract_matches_kernel_oracle(spark, transcripts):
+    triples = extract_triples(transcripts)
+    got = {
+        tuple(r) for r in triples.where(F.col("error_code").isNull()).collect()
+    }
+    # driver-side oracle over the same turns
+    ctx = ContextDict()
+    expander = TurnExpander(ctx.raw, ctx.document_iri)
+    expected = set()
+    for row in transcripts.select("conv_id", "turn_idx", "text", "tool").collect():
+        for t in expander.expand_turn(row.conv_id, row.turn_idx, row.text, row.tool):
+            if t[-1] is None:
+                expected.add(t)
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_no_quarantine_rows_in_clean_corpus(spark, transcripts):
+    triples = extract_triples(transcripts)
+    assert triples.where(F.col("error_code").isNotNull()).count() == 0
+
+
+def test_quarantine_on_malformed_doc(spark):
+    rows = [
+        ("c1", 0, "bad <jsonld>{not json}</jsonld>", None),
+        ("c1", 1, "ok", '{"@context": {"@vocab": 42}, "a": "b"}'),
+        ("c1", 2, "ok", '{"@context": "https://example.org/ctx/missing", "a": "b"}'),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, tool string")
+    out = extract_triples(df).collect()
+    codes = sorted(r.error_code for r in out)
+    assert codes == [
+        "invalid vocab mapping",
+        "loading document failed",
+        "loading remote context failed",
+    ]
+
+
+def test_per_turn_text_equality_invariant(spark, transcripts):
+    """North-rule invariant: joining triples back to the input preserves
+    per-turn text equality under stable (conv_id, turn_idx) ordering."""
+    triples = extract_triples(transcripts)
+    joined = (
+        triples.select("conv_id", "turn_idx").distinct()
+        .join(transcripts, ["conv_id", "turn_idx"], "inner")
+        .join(
+            transcripts.select(
+                "conv_id", "turn_idx", F.col("text").alias("text2")
+            ),
+            ["conv_id", "turn_idx"],
+        )
+    )
+    mismatches = joined.where(F.col("text") != F.col("text2")).count()
+    assert mismatches == 0
+    # every JSON-bearing turn produced at least one triple
+    bearing = transcripts.where(
+        F.col("tool").isNotNull() | F.col("text").contains("<jsonld>")
+    ).count()
+    covered = triples.select("conv_id", "turn_idx").distinct().count()
+    assert covered == bearing
+
+
+def test_extraction_fanout_shapes(spark, transcripts):
+    triples = extract_triples(transcripts).where(F.col("error_code").isNull())
+    kinds = {r.obj_kind for r in triples.select("obj_kind").distinct().collect()}
+    assert kinds <= {"iri", "bnode", "literal"}
+    preds = {
+        r.pred for r in triples.select("pred").distinct().collect()
+    }
+    # templates cover prefix expansion, vocab concat, typed terms, reverse
+    assert "http://schema.org/name" in preds  # ctx/prefix name
+    assert "http://schema.org/knows" in preds  # forward + reverse templates
+    assert "http://ex.org/v#affil" in preds  # ctx/base vocab concat
+    assert "http://ex.org/label" in preds  # ctx/typed
