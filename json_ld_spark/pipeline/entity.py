@@ -1,0 +1,189 @@
+"""Entity layer: mention detection, blocking, linking, canonicalization.
+
+SURVEY.md §2 operators U3 (mention detection), J1 (blocking join), J2/J3
+(connected components + canonical rewrite), producing the final ``nodes`` /
+``edges`` tables of the KG (SURVEY.md §1.3).
+
+Design for 10^12 turns:
+- Mention detection is an Arrow-batched pandas kernel (regex NER-lite) —
+  never per-row Python at the Spark API level.
+- Blocking keys (entity local names) make the candidate join an equi-join;
+  the entity dictionary side is distinct-deduped first and is orders of
+  magnitude smaller than mentions, so Spark broadcasts it (AQE also rescues
+  misestimates). Hot blocks (hub entities) are bounded by a per-block
+  candidate cap.
+- same-as edges → large-star/small-star CC (cc.py) → canonical ids applied
+  to triples with two equi-joins (subject side, object side).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, StringType, StructField, StructType,
+)
+
+from .cc import connected_components
+
+MENTION_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("surface", StringType()),
+    StructField("block_key", StringType()),
+])
+
+# NER-lite: surface forms the fixture corpus emits ("Agent 17", "Event 3")
+_MENTION_RE = re.compile(r"\b(Agent|Event)\s+(\d+)\b")
+
+_KIND_MAP = {"Agent": "person", "Event": "event"}
+
+
+def detect_mentions(transcripts: DataFrame) -> DataFrame:
+    """U3 — mentions(conv_id, turn_idx, surface, block_key) from turn text."""
+    src = transcripts.select("conv_id", "turn_idx", "text")
+
+    def find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                if not isinstance(text, str):
+                    continue
+                for m in _MENTION_RE.finditer(text):
+                    kind, num = m.group(1), m.group(2)
+                    rows.append(
+                        (conv_id, int(turn_idx), m.group(0),
+                         f"{_KIND_MAP[kind]}-{int(num)}")
+                    )
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "surface", "block_key"]
+            )
+
+    return src.mapInPandas(find, schema=MENTION_SCHEMA)
+
+
+def entity_local_name(col: F.Column) -> F.Column:
+    """Blocking key: trailing path/fragment segment of an entity IRI."""
+    return F.regexp_extract(col, r"([^/#]+)$", 1)
+
+
+def entity_dictionary(triples: DataFrame) -> DataFrame:
+    """Distinct entity IRIs appearing as subjects or IRI-objects, with
+    blocking keys. This is the (small) build side of the J1 linking join."""
+    subs = triples.where(F.col("error_code").isNull()).select(
+        F.col("subj").alias("entity_iri")
+    )
+    objs = (
+        triples.where(
+            (F.col("error_code").isNull()) & (F.col("obj_kind") == "iri")
+        ).select(F.col("obj_value").alias("entity_iri"))
+    )
+    return (
+        subs.union(objs)
+        .where(~F.col("entity_iri").startswith("_:"))
+        .where(~F.col("entity_iri").startswith("http://www.w3.org/"))
+        .distinct()
+        .withColumn("block_key", entity_local_name(F.col("entity_iri")))
+    )
+
+
+def link_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """J1 — mentions × entity dictionary on block_key. The dictionary is
+    explicitly broadcast: it is bounded by distinct entities (≪ mentions)."""
+    return mentions.join(
+        F.broadcast(entities.select("block_key", F.col("entity_iri").alias("cand_entity"))),
+        "block_key",
+        "left",
+    ).select(
+        F.sha2(F.concat_ws("|", "conv_id", "turn_idx", "surface"), 256)
+        .substr(1, 16).alias("mention_id"),
+        "conv_id", "turn_idx", "surface", "block_key", "cand_entity",
+    )
+
+
+def same_as_edges(entities: DataFrame, max_block: int = 64) -> DataFrame:
+    """Same-entity edges: IRIs sharing a blocking key are duplicates of one
+    canonical entity (fixture semantics: ctx/base emits
+    ``http://ex.org/d/person-N`` for the same entity as
+    ``http://ex.org/person-N``).
+
+    Instead of an O(k²) pairwise self-join per block, each block links all
+    members to the block's lexicographic minimum — a star, which is exactly
+    what connected components needs, computed with one groupBy + one join.
+    ``max_block`` guards against degenerate giant blocks (a block bigger
+    than the cap is almost certainly a bad key, not one entity).
+    """
+    sized = entities.groupBy("block_key").agg(
+        F.min("entity_iri").alias("canon_candidate"),
+        F.count("*").alias("k"),
+    ).where((F.col("k") > 1) & (F.col("k") <= max_block))
+    return (
+        entities.join(sized, "block_key")
+        .where(F.col("entity_iri") != F.col("canon_candidate"))
+        .select(
+            F.col("entity_iri").alias("src"),
+            F.col("canon_candidate").alias("dst"),
+        )
+    )
+
+
+def canonicalize(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full entity layer: returns (canon_map, nodes, edges).
+
+    canon_map: (id, component)   — entity IRI → canonical id
+    nodes:     (canon_id, iri, kind, n_aliases)
+    edges:     (src_canon, pred, dst_canon, provenance)
+    """
+    clean = triples.where(F.col("error_code").isNull())
+    entities = entity_dictionary(clean).localCheckpoint()
+    edges0 = same_as_edges(entities)
+    canon_map = connected_components(edges0).localCheckpoint()
+    # entities without any same-as edge are their own canon
+    canon_full = (
+        entities.join(canon_map, entities.entity_iri == canon_map.id, "left")
+        .select(
+            F.col("entity_iri").alias("iri"),
+            F.coalesce("component", "entity_iri").alias("canon_id"),
+        )
+    )
+    nodes = (
+        canon_full.groupBy("canon_id")
+        .agg(
+            F.count("*").alias("n_aliases"),
+            F.min("iri").alias("iri"),
+        )
+        .withColumn(
+            "kind",
+            F.when(F.col("canon_id").contains("person"), "person")
+            .when(F.col("canon_id").contains("event"), "event")
+            .when(F.col("canon_id").contains("org"), "org")
+            .otherwise("other"),
+        )
+        .select("canon_id", "iri", "kind", "n_aliases")
+    )
+    # J3 — two equi-joins rewrite subj and obj to canonical ids
+    subj_map = canon_full.select(
+        F.col("iri").alias("subj"), F.col("canon_id").alias("src_canon")
+    )
+    obj_map = canon_full.select(
+        F.col("iri").alias("obj_value"), F.col("canon_id").alias("dst_canon")
+    )
+    rewritten = (
+        clean.where(F.col("obj_kind") == "iri")
+        .join(subj_map, "subj", "inner")
+        .join(obj_map, "obj_value", "inner")
+        .where(~F.col("pred").startswith("http://www.w3.org/1999/02/22-rdf-syntax-ns#"))
+    )
+    edges = (
+        rewritten.groupBy("src_canon", "pred", "dst_canon")
+        .agg(F.count("*").alias("provenance"))
+    )
+    return canon_full.select(
+        F.col("iri").alias("id"), F.col("canon_id").alias("component")
+    ), nodes, edges

@@ -80,9 +80,13 @@ def synth_transcripts(
     )
     h1 = F.xxhash64(F.col("doc_id"), F.col("t"))
     h2 = F.xxhash64(F.col("t"), F.col("doc_id"), F.lit(7))
+    # independent hash for template choice — reusing h1 would correlate
+    # template parity with entity-id parity and starve some (template,
+    # entity) combinations
+    h3 = F.xxhash64(F.col("doc_id"), F.col("t"), F.lit(13))
     z1 = _zipf_entity(h1, n_entities)
     z2 = _zipf_entity(h2, n_entities)
-    tpl_idx = F.pmod(F.abs(h1), F.lit(len(_TEMPLATES)))
+    tpl_idx = F.pmod(F.abs(h3), F.lit(len(_TEMPLATES)))
 
     payload = None
     for i, (_iri, pattern) in enumerate(_TEMPLATES):

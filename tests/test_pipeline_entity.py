@@ -1,0 +1,96 @@
+"""Entity layer + connected components tests (SURVEY.md §7 M3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.pipeline.cc import connected_components
+from json_ld_spark.pipeline.entity import (
+    canonicalize,
+    detect_mentions,
+    entity_dictionary,
+    link_mentions,
+    same_as_edges,
+)
+from json_ld_spark.pipeline.extract import extract_triples
+from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d"), ("f", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    out = {r.id: r.component for r in connected_components(edges).collect()}
+    assert out == {
+        "a": "a", "b": "a", "c": "a",
+        "d": "d", "e": "d", "f": "d",
+        "x": "x", "y": "x",
+    }
+
+
+def test_connected_components_chain_and_star(spark):
+    # a long path exercises multiple star rounds
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(20)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    out = {r.id: r.component for r in connected_components(edges).collect()}
+    assert set(out.values()) == {"n00"}
+    assert len(out) == 21
+
+
+@pytest.fixture(scope="module")
+def triples(spark, sf_dir):
+    return extract_triples(synth_transcripts(spark, sf_dir)).cache()
+
+
+def test_entity_dictionary_blocking(spark, triples):
+    ents = entity_dictionary(triples)
+    rows = ents.collect()
+    assert all(r.block_key for r in rows)
+    # the two namespaces of person-0 share a block key
+    keys = {r.entity_iri: r.block_key for r in rows}
+    ex = [i for i in keys if i.endswith("/person-0")]
+    assert len({keys[i] for i in ex}) == 1
+    # http://ex.org/person-0 + the document-relative namespace (quirk R6)
+    assert len(ex) >= 2
+
+
+def test_same_as_and_canonicalize(spark, triples):
+    canon_map, nodes, edges = canonicalize(triples)
+    cm = {r.id: r.component for r in canon_map.collect()}
+    # alias namespaces collapse to one canonical id (lexicographic min).
+    # ctx/base documents use relative @id; since @base inside a *remote*
+    # context is ignored (quirk R6, ctx_def.rs:211) they resolve against the
+    # document IRI → a second namespace for the same entity.
+    alias = "https://example.org/transcripts/person-0"
+    assert cm.get("http://ex.org/person-0") == cm.get(alias)
+    assert cm["http://ex.org/person-0"] == "http://ex.org/person-0"
+    nrows = nodes.collect()
+    assert {r.canon_id for r in nrows} == set(cm.values())
+    merged = [r for r in nrows if r.n_aliases > 1]
+    assert merged, "expected at least one merged entity"
+    # kind classification
+    kinds = {r.kind for r in nrows}
+    assert "person" in kinds
+    # edges reference canonical ids only and carry provenance counts
+    erows = edges.collect()
+    canon_ids = set(cm.values())
+    for r in erows:
+        assert r.src_canon in canon_ids
+        assert r.dst_canon in canon_ids
+        assert r.provenance >= 1
+    assert any(r.pred == "http://schema.org/knows" for r in erows)
+
+
+def test_mention_detection_and_linking(spark, sf_dir, triples):
+    transcripts = synth_transcripts(spark, sf_dir)
+    mentions = detect_mentions(transcripts)
+    mrows = mentions.limit(50).collect()
+    assert mrows
+    assert all(r.block_key.split("-")[0] in ("person", "event") for r in mrows)
+    ents = entity_dictionary(triples)
+    linked = link_mentions(mentions, ents)
+    hit = linked.where(F.col("cand_entity").isNotNull())
+    assert hit.count() > 0
+    sample = hit.limit(20).collect()
+    for r in sample:
+        assert r.block_key in r.cand_entity
