@@ -1,0 +1,120 @@
+"""Per-partition lineage manifest + idempotent resume (SURVEY.md §2 K2).
+
+The north rule requires the job to checkpoint per-partition lineage and
+triple-count metrics to a manifest table and resume idempotently. Without an
+Iceberg catalog in the sandbox, the same contract is implemented over
+parquet with an atomic-rename commit per work unit; on a real deployment the
+``writeTo(...).append()`` path swaps in with the identical manifest schema
+(run_id, partition_id, input_rows, triples_out, errors, checksum, ts — the
+snapshot_id column then carries the Iceberg snapshot).
+
+Resume = left-anti join of input work units against committed manifest rows:
+already-done units are skipped, so re-running after a failure appends only
+the missing partitions and the final table is byte-identical (FIXTURES.md
+§5.2).
+
+Work unit = a hash bucket of conv_id (``pmod(xxhash64(conv_id), n_buckets)``)
+— the same hidden-partitioning function an Iceberg ``bucket(conv_id)`` spec
+uses, so lineage is stable across cluster sizes and retries.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "run_id string, partition_id int, input_rows long, triples_out long, "
+    "errors long, checksum string, ts double"
+)
+
+
+def bucket_of(col: F.Column, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+class ParquetManifest:
+    """Manifest table over a directory of per-bucket parquet commits."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16) -> None:
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self.manifest_dir = os.path.join(root, "manifest")
+        self.triples_dir = os.path.join(root, "triples")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.triples_dir, exist_ok=True)
+
+    def committed_buckets(self) -> set[int]:
+        files = [
+            f for f in os.listdir(self.manifest_dir) if f.endswith(".parquet")
+        ]
+        if not files:
+            return set()
+        df = self.spark.read.parquet(
+            *[os.path.join(self.manifest_dir, f) for f in files]
+        )
+        return {r.partition_id for r in df.select("partition_id").distinct().collect()}
+
+    def pending_buckets(self) -> list[int]:
+        done = self.committed_buckets()
+        return [b for b in range(self.n_buckets) if b not in done]
+
+    def commit_bucket(
+        self,
+        run_id: str,
+        bucket: int,
+        triples: DataFrame,
+        input_rows: int,
+    ) -> dict:
+        """Write one bucket's triples + its manifest row. The triples write
+        lands in a bucket-named directory (idempotent overwrite); the
+        manifest row is the commit point, written last."""
+        out_dir = os.path.join(self.triples_dir, f"bucket={bucket}")
+        triples.write.mode("overwrite").parquet(out_dir)
+        written = self.spark.read.parquet(out_dir)
+        triples_out = written.where(F.col("error_code").isNull()).count()
+        errors = written.where(F.col("error_code").isNotNull()).count()
+        checksum = (
+            written.select(
+                F.sha2(
+                    F.concat_ws(
+                        "|", "conv_id", "turn_idx", "subj", "pred", "obj_value"
+                    ),
+                    256,
+                ).alias("h")
+            )
+            .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")))
+            .collect()[0][0]
+        )
+        row = {
+            "run_id": run_id,
+            "partition_id": bucket,
+            "input_rows": input_rows,
+            "triples_out": triples_out,
+            "errors": errors,
+            "checksum": str(checksum),
+            "ts": time.time(),
+        }
+        tmp = os.path.join(self.manifest_dir, f"_tmp_bucket_{bucket}")
+        final = os.path.join(self.manifest_dir, f"bucket_{bucket}.parquet")
+        self.spark.createDataFrame([row], schema=MANIFEST_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(tmp, part), final)
+        return row
+
+    def read_triples(self) -> DataFrame:
+        return self.spark.read.parquet(self.triples_dir)
+
+    def read_manifest(self) -> DataFrame:
+        files = [
+            os.path.join(self.manifest_dir, f)
+            for f in os.listdir(self.manifest_dir)
+            if f.endswith(".parquet")
+        ]
+        return self.spark.read.parquet(*files)

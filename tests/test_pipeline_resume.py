@@ -1,0 +1,106 @@
+"""Resume/idempotence + skew tests (FIXTURES.md §5.2-5.3, SURVEY.md §7 M2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.operators.skew import repartition_salted, salted_count
+from json_ld_spark.pipeline.job import run_extraction_job
+from json_ld_spark.pipeline.manifest import ParquetManifest
+from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+
+def _sorted_triples(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "conv_id", "turn_idx", "subj", "pred", "obj_kind", "obj_value",
+            "obj_type", "obj_lang", "obj_direction", "graph", "error_code",
+        ).collect()
+    )
+
+
+def test_resume_idempotent(spark, sf_dir, tmp_path):
+    transcripts = synth_transcripts(spark, sf_dir).cache()
+    n_buckets = 4
+
+    # uninterrupted baseline
+    base = run_extraction_job(
+        spark, transcripts, str(tmp_path / "w_base"), n_buckets
+    )
+    assert base.buckets_processed == n_buckets
+    golden = _sorted_triples(base.triples)
+
+    # fault-injected run: dies after 2 buckets
+    w2 = str(tmp_path / "w_resume")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        run_extraction_job(
+            spark, transcripts, w2, n_buckets, fail_after_bucket=1
+        )
+    m = ParquetManifest(spark, w2, n_buckets)
+    assert 0 < len(m.committed_buckets()) < n_buckets
+
+    # resume: processes only the pending buckets
+    resumed = run_extraction_job(spark, transcripts, w2, n_buckets)
+    assert resumed.buckets_processed == n_buckets - 2
+    assert _sorted_triples(resumed.triples) == golden
+
+    # a third run is a no-op
+    noop = run_extraction_job(spark, transcripts, w2, n_buckets)
+    assert noop.buckets_processed == 0
+    assert _sorted_triples(noop.triples) == golden
+
+
+def test_manifest_metrics(spark, sf_dir, tmp_path):
+    transcripts = synth_transcripts(spark, sf_dir)
+    res = run_extraction_job(spark, transcripts, str(tmp_path / "w_m"), 4)
+    m = ParquetManifest(spark, str(tmp_path / "w_m"), 4).read_manifest()
+    rows = m.collect()
+    assert len(rows) == 4
+    assert sum(r.input_rows for r in rows) == transcripts.count()
+    assert sum(r.triples_out for r in rows) == res.triples.where(
+        F.col("error_code").isNull()
+    ).count()
+    assert all(r.checksum is not None for r in rows)
+
+
+def test_hot_conv_skew_fixture(spark, sf_dir):
+    hot = synth_transcripts(spark, sf_dir, hot_conv=True)
+    counts = hot.groupBy("conv_id").count()
+    top = counts.orderBy(F.desc("count")).first()
+    total = hot.count()
+    assert top["conv_id"] == "conv-hot"
+    assert top["count"] >= total * 0.4
+    # turn_idx stays unique inside the hot conversation
+    assert (
+        hot.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count()
+        == 0
+    )
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    hot = synth_transcripts(spark, sf_dir, hot_conv=True)
+    plain = {
+        r.conv_id: r.cnt
+        for r in hot.groupBy("conv_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    salted = {
+        r.conv_id: r.cnt
+        for r in salted_count(
+            hot, ["conv_id"], ["turn_idx"], n_salts=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_repartition_salted_spreads_hot_key(spark, sf_dir):
+    hot = synth_transcripts(spark, sf_dir, hot_conv=True)
+    df = repartition_salted(hot, "conv_id", "turn_idx", n_partitions=8, n_salts=8)
+    per_part = (
+        df.where(F.col("conv_id") == "conv-hot")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    # the hot conversation spans multiple partitions instead of one straggler
+    assert len(per_part) >= 4
