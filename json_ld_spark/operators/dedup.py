@@ -1,0 +1,233 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+All hash choices are md5-based so every operator has a bit-identical DuckDB
+oracle (the driver's correctness gate): Spark's ``md5`` and DuckDB's ``md5``
+agree, and 15 hex chars cast to BIGINT stay within 60 bits on both engines.
+
+Scale notes (100 TB / 10^9+ docs):
+- exact dedup is a single hash-aggregate (map-side partial + final) on a
+  16-byte digest — the minimal-shuffle formulation.
+- MinHash-LSH shuffles (band_id, band_hash) pairs, not token sets; candidate
+  pairs only materialize within a bucket (classic Broder scheme). Band
+  buckets with one member are dropped before the self-join, and the
+  self-join is on the tiny bucket table, never doc × doc.
+- SimHash decomposes into (doc × bit) partial sums — pure JVM bit-ops, no
+  UDF anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col=F.col("text")) -> F.Column:
+    """Lowercase, collapse non-alphanumerics — the canonical form shared by
+    every dedup operator (and mirrored in the DuckDB oracles)."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
+
+
+def tokens(col=F.col("text")) -> F.Column:
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact near-copy groups: md5 over normalized text.
+
+    Returns (text_hash, n_dups, keep_doc_id) for groups with >1 member.
+    """
+    return (
+        docs.select(
+            F.col("doc_id"), F.md5(normalized_text()).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — hash i = min over tokens of md5(token||'#'||i).
+
+    min over hex strings is lexicographic on both engines → portable.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns (doc_a, doc_b) with doc_a < doc_b, distinct. rows_per_band =
+    n_hashes / n_bands; two docs pair iff some band's concatenated minhashes
+    are identical.
+    """
+    assert n_hashes % n_bands == 0
+    rows = n_hashes // n_bands
+    sigs = minhash_signatures(docs, n_hashes)
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    # prune single-member buckets before the self-join
+    bucket_sizes = all_bands.groupBy("band", "band_hash").agg(
+        F.count("*").alias("k")
+    ).where(F.col("k") > 1)
+    member = all_bands.join(bucket_sizes.select("band", "band_hash"), ["band", "band_hash"])
+    left = member.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
+    right = member.select("band", "band_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Token n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold. The shingle
+    inverted index bounds the join: only docs sharing a shingle ever meet.
+    """
+    # n-gram shingles via concat of sliding windows (JVM-side); per-doc
+    # token cap bounds the inverted index for pathological documents.
+    # NB: sequence(1, 0) is *descending* in Spark, so docs shorter than n
+    # tokens need the explicit empty-array guard.
+    toks = F.slice(tokens(), 1, 200)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        shingled.alias("a")
+        .join(shingled.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Portable SimHash: per-token 60-bit md5-derived hash, per-bit ±1 sums,
+    sign-collapsed into a ``bits``-wide fingerprint. Pure JVM bit ops.
+
+    Returns (doc_id, simhash).
+    """
+    tok_hash = F.conv(
+        F.substring(F.md5(F.col("tok")), 1, 15), 16, 10
+    ).cast("long")
+    toks = docs.select("doc_id", F.explode(F.array_distinct(tokens())).alias("tok"))
+    with_bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        tok_hash.alias("th"),
+    )
+    # F.shiftright/shiftleft take literal ints only — use SQL exprs for
+    # column-valued shift amounts
+    bit_sums = with_bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(shiftright(th, cast(bit AS int)) & 1) = 1"), 1)
+            .otherwise(-1)
+        ).alias("s")
+    )
+    return (
+        bit_sums.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(cast(1 AS bigint), cast(bit AS int))"),
+                ).otherwise(0)
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+
+    Brute-force within ``label`` blocks (the provided clustering column) so
+    the self-join is block-bounded; at 100 TB the blocks come from a coarse
+    quantizer instead (similarity.py's LSH route).
+    """
+    norm = F.sqrt(F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding"), norm.alias("norm")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"), F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.label") == F.col("b.label"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )

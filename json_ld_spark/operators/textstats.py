@@ -1,0 +1,103 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All pure JVM expressions (whole-stage codegen) with
+bit-identical DuckDB oracles — no UDFs anywhere on these hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text, tokens
+
+# tiny per-language stopword seeds for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "las", "es", "una", "con", "por"],
+}
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_norm) — whitespace+regex tokenization."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).alias("n_tokens"),
+        F.length(F.trim(normalized_text())).alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + combined score:
+    length band, punctuation ratio, stopword ratio, mean token length."""
+    txt = F.col("text")
+    n_chars = F.length(txt)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+    toks = tokens()
+    n_tokens = F.size(toks)
+    en_stops = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stops, t)))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tokens,
+    ).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), 0.4).otherwise(0.0)
+        + F.when((punct_ratio > 0.0) & (punct_ratio < 0.2), 0.2).otherwise(0.0)
+        + F.when(stop_ratio > 0.05, 0.2).otherwise(0.0)
+        + F.when((mean_tok_len > 2.0) & (mean_tok_len < 12.0), 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(score, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language guess over {en, de, fr, es}; 'und' when no
+    stopword hits. Deterministic tie-break by language code order."""
+    toks = tokens()
+    votes = []
+    for code in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[code]])
+        votes.append(
+            F.struct(
+                (-F.size(F.filter(toks, lambda t: F.array_contains(arr, t))))
+                .alias("neg_hits"),
+                F.lit(code).alias("code"),
+            )
+        )
+    # sort by (-hits, code) ascending → [0] = max hits, alphabetically-first
+    # code on ties (deterministic, mirrored in the DuckDB oracle)
+    best = F.array_sort(F.array(*votes))[0]
+    return docs.select(
+        "doc_id",
+        F.when(best["neg_hits"] < 0, best["code"]).otherwise("und").alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Document fingerprint: md5 of normalized text (exact) + winnowed
+    min-shingle hash (robust to local edits) — the rolling-hash scheme
+    expressed as min over n-gram digests."""
+    toks = F.slice(tokens(), 1, 500)
+    # sequence(1, 0) is descending in Spark → explicit guard for short docs
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.trim(normalized_text())).alias("exact_fp"),
+        F.array_min(grams).alias("shingle_fp"),
+    ).orderBy("doc_id")
