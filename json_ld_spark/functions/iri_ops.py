@@ -1,0 +1,176 @@
+"""Vectorized JVM-side IRI operations (SURVEY.md §2 P2 / A23 tier-1 pre-pass).
+
+These are the whole-stage-codegen realizations of the reference's IRI
+helpers, compiled from a *frozen* broadcast context into plain Catalyst
+expressions — zero Python on the hot path:
+
+- ``classify_iri_col``    — src/iri.rs:5-72 category heuristic (keyword /
+  blank node / absolute / compact / relative), reference-verbatim including
+  the ``//``-based absolute-IRI heuristic (SURVEY.md quirk note A25:
+  parity over purity).
+- ``prefix_suffix_split`` — src/iri.rs:43-54 (first char never a separator,
+  spec issue 189/PR 203 note at src/iri.rs:48-49).
+- ``expand_term_col``     — the frozen-context fast path of IRI expansion
+  (src/expand/iri.rs:234-331): term→IRI dict becomes a Catalyst map literal,
+  vocab concat becomes string concat. Documents with scoped/term-creating
+  contexts fall back to the kernel inside mapInPandas (extract.py) — this
+  column op is for post-extraction analytics where the context is settled.
+- ``compact_iri_col``     — §6.3 compaction as a generated CASE chain:
+  exact-term matches via map literal, then longest-prefix compact-IRI
+  rewriting, then vocab-relative suffix. Mirrors kernel/compact.py, which
+  is the spec-faithful oracle the tests pin this against.
+
+Scale note: every function here produces a single Catalyst expression tree —
+no shuffle, no UDF, fully pushdown/codegen friendly. The context-derived
+literals are tiny (10s of terms), so the generated plan stays well under
+codegen limits; for contexts with thousands of terms, swap the CASE chain
+for a broadcast-join against a terms table (same semantics, one broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..kernel import Context
+from ..kernel.model import KEYWORDS
+
+
+# --------------------------------------------------------------- classify
+
+def classify_iri_col(col: Column) -> Column:
+    """Category per src/iri.rs:5-41: keyword | blank_node | absolute |
+    compact | relative. Uses the reference's heuristics, not RFC 3987."""
+    prefix = F.regexp_extract(col, r"^(.[^:]*):", 1)
+    suffix = F.regexp_extract(col, r"^.[^:]*:(.*)$", 1)
+    has_colon_split = F.length(prefix) > 0
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(col.isin(*sorted(KEYWORDS)), F.lit("keyword"))
+        .when(col.startswith("_:"), F.lit("blank_node"))
+        # src/iri.rs:24-38: scheme:suffix where suffix does NOT start with
+        # "//" is still absolute; "//" means authority → absolute too; the
+        # reference treats any successful split as absolute-or-compact by
+        # whether the prefix is a declared term — at the *syntax* level both
+        # are "absolute IRI reference" per is_absolute_iri_ref (:57-63).
+        .when(has_colon_split & suffix.startswith("//"), F.lit("absolute"))
+        .when(has_colon_split, F.lit("compact"))
+        .otherwise(F.lit("relative"))
+    )
+
+
+def prefix_suffix_split(col: Column) -> tuple[Column, Column]:
+    """(prefix, suffix) per src/iri.rs:43-54; first char never a separator.
+    Both are empty strings when there is no colon past position 0."""
+    return (
+        F.regexp_extract(col, r"^(.[^:]*):", 1),
+        F.regexp_extract(col, r"^.[^:]*:(.*)$", 1),
+    )
+
+
+# ----------------------------------------------------------------- expand
+
+def expand_term_col(col: Column, ctx: Context) -> Column:
+    """Vocab-mode term→IRI expansion against a frozen context.
+
+    Order mirrors src/expand/iri.rs:234-331 for the value shapes that occur
+    post-freeze: keyword passthrough → defined-term lookup (null tombstone
+    blocks vocab fallback, iri.rs:261-272 / W3C t0032) → blank node →
+    compact-IRI via declared prefix (iri.rs:274-297) → absolute passthrough
+    → vocab concat (iri.rs:299-303) → null (no document-relative here:
+    vocab mode, matching expand_str(vocab=true)).
+    """
+    term_map: dict[str, str] = {}
+    tombstones: list[str] = []
+    prefixes: list[tuple[str, str]] = []
+    for term, td in ctx.term_definitions.items():
+        if td is None:
+            tombstones.append(term)
+            continue
+        term_map[term] = td.iri
+        if td.is_prefix:
+            prefixes.append((term, td.iri))
+
+    expr = F.when(col.isNull(), F.lit(None).cast("string"))
+    expr = expr.when(col.isin(*sorted(KEYWORDS)), col)
+    # keyword-form but not a keyword → null (iri.rs:244-247, syntax.rs:8-10)
+    expr = expr.when(col.rlike(r"^@[A-Za-z]+$"), F.lit(None).cast("string"))
+    if tombstones:
+        expr = expr.when(col.isin(*tombstones), F.lit(None).cast("string"))
+    if term_map:
+        items = []
+        for k in sorted(term_map):
+            items.extend([F.lit(k), F.lit(term_map[k])])
+        m = F.create_map(*items)
+        expr = expr.when(m[col].isNotNull(), m[col])
+    expr = expr.when(col.startswith("_:"), col)
+    # compact IRI: prefix must be a declared term; suffix "//" → treat as
+    # absolute passthrough (iri.rs:276-280)
+    pfx, sfx = prefix_suffix_split(col)
+    expr = expr.when(
+        (F.length(pfx) > 0) & sfx.startswith("//"), col
+    )
+    for term, ns in sorted(prefixes, key=lambda p: (-len(p[0]), p[0])):
+        expr = expr.when(
+            (pfx == term) & (F.length(sfx) > 0), F.concat(F.lit(ns), sfx)
+        )
+    # NOTE: an undeclared-prefix value like "nope:x" is NOT absolute under
+    # the reference's //-heuristic (iri.rs:62-64) — it falls through to
+    # vocab concat (step 7) and then the literal fallback (step 9), exactly
+    # like the kernel.
+    if ctx.vocab is not None:
+        expr = expr.when(F.lit(True), F.concat(F.lit(ctx.vocab), col))
+    return expr.otherwise(col)
+
+
+# ---------------------------------------------------------------- compact
+
+def compact_iri_col(col: Column, ctx: Context) -> Column:
+    """Vocab-mode IRI compaction as a Catalyst CASE chain (kernel/compact.py
+    is the spec-faithful oracle; tests pin equality on all emitted IRIs).
+
+    Preference order matches compact_iri(): exact term (shortest term wins)
+    → longest-prefix compact IRI via a prefix=true term (skipping candidates
+    that collide with defined terms) → vocab-relative suffix → unchanged.
+    """
+    from ..kernel.compact import _coercion_compatible
+
+    exact: dict[str, str] = {}
+    prefixes: list[tuple[str, str]] = []
+    for term, td in sorted(
+        ctx.term_definitions.items(), key=lambda p: (len(p[0]), p[0])
+    ):
+        if td is None or td.reverse:
+            continue
+        # bare-IRI compaction carries no value object, so only terms whose
+        # coercion is compatible with "no value" are exact-match candidates —
+        # the same predicate compact_iri() applies with value=None
+        if _coercion_compatible(td, None, ctx):
+            exact.setdefault(td.iri, term)
+        if td.is_prefix:
+            prefixes.append((term, td.iri))
+
+    expr = F.when(col.isNull(), F.lit(None).cast("string"))
+    expr = expr.when(col.isin(*sorted(KEYWORDS)), col)
+    if exact:
+        items = []
+        for iri in sorted(exact):
+            items.extend([F.lit(iri), F.lit(exact[iri])])
+        m = F.create_map(*items)
+        expr = expr.when(m[col].isNotNull(), m[col])
+    # longest namespace first — mirrors compact_iri()'s sort key
+    for term, ns in sorted(prefixes, key=lambda p: (-len(p[1]), p[0])):
+        candidate = F.concat(F.lit(term + ":"), F.substring(col, len(ns) + 1, 2**30))
+        collision = candidate.isin(*ctx.term_definitions.keys())
+        expr = expr.when(
+            col.startswith(ns) & (F.length(col) > len(ns)) & ~collision,
+            candidate,
+        )
+    if ctx.vocab:
+        suffix = F.substring(col, len(ctx.vocab) + 1, 2**30)
+        collision = suffix.isin(*ctx.term_definitions.keys()) if ctx.term_definitions else F.lit(False)
+        expr = expr.when(
+            col.startswith(ctx.vocab) & (F.length(col) > len(ctx.vocab)) & ~collision,
+            suffix,
+        )
+    return expr.otherwise(col)

@@ -136,7 +136,9 @@ def extract_triples(
     filter ``error_code IS NULL`` for clean triples).
 
     Plan shape: parquet scan (pruned to 4 cols, candidate filter pushed) →
-    mapInPandas kernel → optional dropDuplicates (hash agg, partial+final).
+    mapInPandas kernel (with in-kernel per-turn exact dedup — see inline
+    note for why that equals a global dropDuplicates) — a single map-only
+    stage, no exchange.
     """
     contexts = contexts or ContextDict()
     raw_contexts = contexts.raw
@@ -153,15 +155,20 @@ def extract_triples(
             for conv_id, turn_idx, text, tool in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
             ):
-                rows.extend(expander.expand_turn(conv_id, int(turn_idx), text, tool))
+                turn_rows = expander.expand_turn(conv_id, int(turn_idx), text, tool)
+                if dedup:
+                    # G1 — exact triple dedup, shuffle-free. The dedup key is
+                    # the FULL row including (conv_id, turn_idx), and a turn
+                    # is expanded exactly once in exactly one task, so
+                    # duplicates of the key can only arise *within* this
+                    # turn's own output (e.g. the same doc in both text and
+                    # tool). Per-turn set-dedup is therefore exactly
+                    # equivalent to a global dropDuplicates over all 11
+                    # columns — minus a ~full-output shuffle, which at the
+                    # 100 TB target is the difference between a map-only
+                    # stage and a petascale exchange.
+                    turn_rows = list(dict.fromkeys(turn_rows))
+                rows.extend(turn_rows)
             yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
 
-    triples = candidates.mapInPandas(expand_batches, schema=TRIPLE_SCHEMA)
-    if dedup:
-        # G1 — exact triple dedup; keeps per-turn provenance (conv_id,
-        # turn_idx are part of the key so lineage survives)
-        triples = triples.dropDuplicates(
-            ["conv_id", "turn_idx", "subj", "pred", "obj_kind", "obj_value",
-             "obj_type", "obj_lang", "obj_direction", "graph", "error_code"]
-        )
-    return triples
+    return candidates.mapInPandas(expand_batches, schema=TRIPLE_SCHEMA)

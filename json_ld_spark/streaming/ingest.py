@@ -1,0 +1,113 @@
+"""Structured-Streaming incremental KG ingest (SURVEY.md §2 Table B, streaming rows).
+
+Continuous variant of the batch pipeline: new transcript files (an Iceberg
+streaming read on a real deployment; a file source here — same DataFrame
+surface) flow through the identical Arrow-batched extraction kernel and land
+in an append-only triples sink with exactly-once file-sink semantics from
+Spark's checkpoint.
+
+Design notes, 100 TB shape:
+- The extraction kernel (``extract_triples``) is stateless per-turn, so the
+  streaming plan stays a stateless mapInPandas — no state store, no
+  watermark needed for the transform itself.
+- Late/duplicate data: ``dropDuplicatesWithinWatermark`` on
+  (conv_id, turn_idx) with an event-time watermark on ``ts`` bounds state —
+  the batch job's global dropDuplicates is unbounded-state in streaming and
+  deliberately avoided (`withWatermark` + within-watermark dedup is the
+  canonical Spark pattern for exactly-this).
+- Entity linking / connected components stay batch: they are iterative
+  whole-graph algorithms; the streaming layer lands raw triples and the
+  batch canonicalization job periodically folds them in (classic
+  lambda-free "streaming ingest + periodic batch consolidation").
+
+Reference tie-in: the kernel applied per micro-batch is the same A1-A33
+surface (see json_ld_spark/kernel/*, citing /root/reference/src/*.rs);
+streaming only changes the source/sink contract, exactly as SURVEY.md
+Table B marks these rows as pipeline scaffolding, not reference algorithms.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..contexts import ContextDict
+from ..pipeline.extract import extract_triples
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def stream_transcript_source(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """File-based streaming source over transcript parquet drops.
+
+    On a real cluster this is ``spark.readStream.format("iceberg")`` with
+    ``stream-from-timestamp``; the downstream plan is identical because both
+    produce the same (conv_id, turn_idx, role, text, tool, ts) rows.
+    ``maxFilesPerTrigger`` bounds micro-batch size so one giant backfill
+    drop cannot blow executor memory — the streaming analogue of
+    ``spark.sql.files.maxPartitionBytes``.
+    """
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def stream_extract_triples(
+    transcripts: DataFrame,
+    contexts: Optional[ContextDict] = None,
+    watermark: str = "1 hour",
+    dedup_within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming plan: watermark → within-watermark turn dedup → kernel.
+
+    Turn-level dedup runs *before* the Python boundary so replayed files
+    never pay kernel CPU twice. Triple-level exact dedup is left to the
+    downstream batch consolidation (global dropDuplicates would need
+    unbounded state in a stream).
+    """
+    stream = transcripts.withWatermark("ts", watermark)
+    if dedup_within_watermark:
+        stream = stream.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    # ts must survive for the sink's event-time bookkeeping; the kernel
+    # operates on the 4 pruned columns internally.
+    return extract_triples(stream, contexts, dedup=False)
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    contexts: Optional[ContextDict] = None,
+    available_now: bool = True,
+):
+    """Drain ``source_dir`` into an append-only parquet triples sink.
+
+    ``available_now=True`` processes the current backlog then stops — the
+    incremental-backfill trigger; ``False`` runs continuously. Exactly-once
+    comes from the file-sink commit log under ``checkpoint_dir``: a replayed
+    micro-batch overwrites its own manifest entry instead of double-counting
+    (the streaming analogue of ParquetManifest's atomic bucket commit).
+    """
+    transcripts = stream_transcript_source(spark, source_dir)
+    triples = stream_extract_triples(transcripts, contexts)
+    writer = (
+        triples.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,131 @@
+"""JVM-side vectorized IRI ops vs the Spark-free kernel oracle.
+
+The kernel (reference-parity, tests/test_kernel_*) is ground truth; the
+Catalyst expressions in json_ld_spark/functions must agree on every value
+class they claim to cover (SURVEY.md A23 tier-1 / P2 / §6.3).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.contexts import ContextDict
+from json_ld_spark.functions import (
+    classify_iri_col,
+    compact_iri_col,
+    expand_term_col,
+    prefix_suffix_split,
+)
+from json_ld_spark.kernel import expand_iri
+from json_ld_spark.kernel.compact import compact_iri
+from json_ld_spark.kernel.iri import split_prefix
+
+CTX_IRIS = [
+    "https://example.org/ctx/base",
+    "https://example.org/ctx/prefix",
+    "https://example.org/ctx/typed",
+    "https://example.org/ctx/nullterm",
+]
+
+EXPAND_INPUTS = [
+    "name", "knows", "schema", "ex", "hidden", "when", "label",
+    "schema:knows", "schema:name", "ex:other", "nope:x",
+    "http://schema.org/name", "https://a.b/c", "_:b0",
+    "@id", "@type", "@notakeyword", "plain", "x",
+]
+
+COMPACT_INPUTS = [
+    "http://schema.org/name", "http://schema.org/knows",
+    "http://schema.org/unknownProp", "http://ex.org/v#foo",
+    "http://ex.org/when", "http://ex.org/label", "http://other.org/p",
+    "@type",
+]
+
+
+@pytest.fixture(scope="module")
+def ctxdict():
+    return ContextDict()
+
+
+@pytest.mark.parametrize("ctx_iri", CTX_IRIS)
+def test_expand_term_col_matches_kernel(spark, ctxdict, ctx_iri):
+    ctx = ctxdict.compiled(ctx_iri)
+    proc = ctxdict.processor
+    want = {
+        v: expand_iri(proc, ctx, v, vocab=True, document_relative=False)
+        for v in EXPAND_INPUTS
+    }
+    df = spark.createDataFrame([(v,) for v in EXPAND_INPUTS], "v string")
+    got = {
+        r["v"]: r["out"]
+        for r in df.select("v", expand_term_col(F.col("v"), ctx).alias("out")).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("ctx_iri", CTX_IRIS)
+def test_compact_iri_col_matches_kernel(spark, ctxdict, ctx_iri):
+    ctx = ctxdict.compiled(ctx_iri)
+    want = {v: compact_iri(ctx, v, vocab=True) for v in COMPACT_INPUTS}
+    df = spark.createDataFrame([(v,) for v in COMPACT_INPUTS], "v string")
+    got = {
+        r["v"]: r["out"]
+        for r in df.select("v", compact_iri_col(F.col("v"), ctx).alias("out")).collect()
+    }
+    assert got == want
+
+
+def test_expand_compact_roundtrip_on_extracted_triples(spark, ctxdict, sf_dir):
+    """Every predicate IRI the pipeline emits compacts and re-expands to
+    itself under the prefix context — the §6 round-trip property."""
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    ctx = ctxdict.compiled("https://example.org/ctx/prefix")
+    preds = (
+        extract_triples(synth_transcripts(spark, sf_dir))
+        .where(F.col("error_code").isNull())
+        .select("pred").distinct()
+    )
+    out = preds.select(
+        "pred",
+        expand_term_col(
+            compact_iri_col(F.col("pred"), ctx), ctx
+        ).alias("roundtrip"),
+    )
+    bad = out.where(
+        F.col("roundtrip").isNull() | (F.col("roundtrip") != F.col("pred"))
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_prefix_suffix_split_matches_kernel(spark):
+    inputs = ["a:b", "ab:cd:ef", ":x", "x:", "noco", "_:b0", "a:", ""]
+    df = spark.createDataFrame([(v,) for v in inputs], "v string")
+    p, s = prefix_suffix_split(F.col("v"))
+    got = {
+        r["v"]: (r["p"], r["s"])
+        for r in df.select("v", p.alias("p"), s.alias("s")).collect()
+    }
+    for v in inputs:
+        want = split_prefix(v)
+        if want is None:
+            assert got[v] == ("", ""), v
+        else:
+            assert got[v] == want, v
+
+
+def test_classify_iri_col_categories(spark):
+    cases = {
+        "@id": "keyword",
+        "_:b0": "blank_node",
+        "http://a/b": "absolute",
+        "schema:name": "compact",
+        "plain": "relative",
+        "": "relative",
+    }
+    df = spark.createDataFrame([(v,) for v in cases], "v string")
+    got = {
+        r["v"]: r["c"]
+        for r in df.select("v", classify_iri_col(F.col("v")).alias("c")).collect()
+    }
+    assert got == cases

@@ -1,0 +1,83 @@
+"""Streaming ingest tests (SURVEY.md §2 Table B streaming rows).
+
+Verifies the incremental path produces exactly the batch kernel's triples,
+and that the checkpoint makes re-drains idempotent (no double-counting on
+replay — the streaming analogue of manifest resume).
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.pipeline.extract import extract_triples
+from json_ld_spark.pipeline.transcripts import synth_transcripts
+from json_ld_spark.streaming.ingest import run_stream_to_parquet
+
+TRIPLE_KEY = [
+    "conv_id", "turn_idx", "subj", "pred", "obj_kind", "obj_value",
+    "obj_type", "obj_lang", "obj_direction", "graph", "error_code",
+]
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    d = {
+        "source": str(tmp_path / "source"),
+        "sink": str(tmp_path / "sink"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["source"])
+    return d
+
+
+def _drain(spark, dirs):
+    q = run_stream_to_parquet(
+        spark, dirs["source"], dirs["sink"], dirs["ckpt"], available_now=True
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+def test_stream_matches_batch(spark, sf_dir, stream_dirs):
+    transcripts = synth_transcripts(spark, sf_dir)
+    # two file drops, split by conversation hash
+    part = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    for i in (0, 1):
+        transcripts.where(part == i).coalesce(1).write.mode("append").parquet(
+            stream_dirs["source"]
+        )
+
+    _drain(spark, stream_dirs)
+
+    got = spark.read.parquet(stream_dirs["sink"]).select(*TRIPLE_KEY)
+    want = extract_triples(transcripts, dedup=False).select(*TRIPLE_KEY)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_replay_is_idempotent(spark, sf_dir, stream_dirs):
+    transcripts = synth_transcripts(spark, sf_dir)
+    transcripts.coalesce(1).write.mode("append").parquet(stream_dirs["source"])
+    _drain(spark, stream_dirs)
+    n1 = spark.read.parquet(stream_dirs["sink"]).count()
+    assert n1 > 0
+
+    # re-drain with the same checkpoint: backlog already committed → no-op
+    _drain(spark, stream_dirs)
+    assert spark.read.parquet(stream_dirs["sink"]).count() == n1
+
+    # new file arrives → only its triples are appended. Event times must be
+    # fresh: rows at-or-below the advanced watermark are (correctly) treated
+    # as late and dropped by dropDuplicatesWithinWatermark.
+    extra = (
+        transcripts.limit(200)
+        .withColumn("conv_id", F.concat(F.lit("replay-"), F.col("conv_id")))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
+    )
+    extra.coalesce(1).write.mode("append").parquet(stream_dirs["source"])
+    _drain(spark, stream_dirs)
+    n2 = spark.read.parquet(stream_dirs["sink"]).count()
+    want_extra = extract_triples(extra, dedup=False).count()
+    assert n2 == n1 + want_extra
