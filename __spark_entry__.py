@@ -95,6 +95,60 @@ def _kg_hub_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_turn_text_hash(spark, sf_dir):
+    """W1 invariant surface: per-conversation digest of turn texts under
+    stable (conv_id, turn_idx) ordering. Deterministic, so any engine change
+    that perturbs turn ordering or mutates text flips the hash. rows-only
+    check (transcripts derive via xxhash64, not expressible in DuckDB);
+    exact equality vs the kernel path is pinned by
+    tests/test_pipeline_extract.py::test_per_turn_text_equality_invariant."""
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    tr = synth_transcripts(spark, sf_dir)
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    texts = F.transform(ordered, lambda s: s["text"])
+    return (
+        tr.groupBy("conv_id")
+        .agg(
+            F.md5(F.concat_ws("", texts)).alias("turn_text_hash"),
+            F.count("*").alias("n_turns"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def _kg_compact_edges(spark, sf_dir):
+    """Expansion→compaction round-trip on the emitted graph: triples with
+    IRI objects re-labelled through the JVM-side compaction expression
+    (functions/iri_ops.py, pinned to kernel/compact.py by tests)."""
+    from json_ld_spark.contexts import ContextDict
+    from json_ld_spark.functions import compact_iri_col
+    from json_ld_spark.kernel import Context, process_context
+
+    cd = ContextDict()
+    publish_ctx = process_context(
+        cd.processor,
+        Context(base=cd.document_iri),
+        {
+            "schema": "http://schema.org/",
+            "ex": "http://ex.org/",
+            "v": "http://ex.org/v#",
+        },
+        cd.document_iri,
+    )
+    triples = _kg_triples(spark, sf_dir).where(F.col("obj_kind") == "iri")
+    return (
+        triples.select(
+            compact_iri_col(F.col("subj"), publish_ctx).alias("subj_c"),
+            compact_iri_col(F.col("pred"), publish_ctx).alias("pred_c"),
+            compact_iri_col(F.col("obj_value"), publish_ctx).alias("obj_c"),
+        )
+        .groupBy("subj_c", "pred_c", "obj_c")
+        .agg(F.count("*").alias("n"))
+        .orderBy("subj_c", "pred_c", "obj_c")
+    )
+
+
 def _dedup_exact(spark, sf_dir):
     from json_ld_spark.operators.dedup import exact_dedup
 
@@ -271,6 +325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _kg_edges,
         "kg_mentions": _kg_mentions,
         "kg_hub_entities": _kg_hub_entities,
+        "kg_turn_text_hash": _kg_turn_text_hash,
+        "kg_compact_edges": _kg_compact_edges,
         # dedup suite
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,

@@ -67,7 +67,19 @@ _TRIPLE_COLS = [f.name for f in TRIPLE_SCHEMA.fields]
 
 
 class TurnExpander:
-    """Per-worker expansion kernel with a context-compile cache."""
+    """Per-worker expansion kernel with context-compile and document memo
+    caches.
+
+    The document memo exploits that expansion is a *pure function* of the
+    raw document string once the context dictionary is frozen: identical
+    payloads (retried tool calls, templated agent turns, re-sent context
+    blobs — extremely common in real transcript corpora) expand once and
+    then cost a dict lookup. Bounded FIFO eviction keeps worker memory flat
+    regardless of corpus size; cache hit/miss changes throughput, never
+    output.
+    """
+
+    DOC_CACHE_MAX = 65536
 
     def __init__(self, raw_contexts: Mapping[str, dict], document_iri: str) -> None:
         self.processor = ProcessorOptions(
@@ -75,6 +87,7 @@ class TurnExpander:
         )
         self.document_iri = document_iri
         self._cache: dict[str, Context] = {}
+        self._doc_cache: dict[str, tuple[tuple, ...]] = {}
 
     def _active_context(self, ctx_value) -> Context:
         key = json.dumps(ctx_value, sort_keys=True, separators=(",", ":"))
@@ -87,23 +100,22 @@ class TurnExpander:
             self._cache[key] = ctx
         return ctx
 
-    def expand_turn(self, conv_id: str, turn_idx: int, text, tool) -> list[tuple]:
-        """All triples (or quarantine rows) for one turn."""
+    def _expand_doc(self, raw: str) -> tuple[tuple, ...]:
+        """Expand one raw document string to partial rows (everything after
+        the conv_id/turn_idx prefix), memoized on the raw string."""
+        cached = self._doc_cache.get(raw)
+        if cached is not None:
+            return cached
         out: list[tuple] = []
-        docs: list[str] = []
-        if isinstance(tool, str) and tool:
-            docs.append(tool)
-        if isinstance(text, str) and "<jsonld>" in text:
-            docs.extend(_INLINE_RE.findall(text))
-        for raw in docs:
-            try:
-                doc = json.loads(raw)
-            except (json.JSONDecodeError, ValueError):
-                out.append(
-                    (conv_id, turn_idx, None, None, None, None, None, None,
-                     None, None, "loading document failed")
-                )
-                continue
+        try:
+            doc = json.loads(raw)
+        except (json.JSONDecodeError, ValueError):
+            doc = None
+            out.append(
+                (None, None, None, None, None, None, None, None,
+                 "loading document failed")
+            )
+        if doc is not None:
             try:
                 ctx_value = doc.get("@context") if isinstance(doc, Mapping) else None
                 if ctx_value is not None:
@@ -115,15 +127,32 @@ class TurnExpander:
                 expanded = expand_document(self.processor, active, body)
                 for t in expanded_to_triples(expanded):
                     out.append(
-                        (conv_id, turn_idx, t["subj"], t["pred"], t["obj_kind"],
-                         t["obj_value"], t["obj_type"], t["obj_lang"],
-                         t["obj_direction"], t["graph"], None)
+                        (t["subj"], t["pred"], t["obj_kind"], t["obj_value"],
+                         t["obj_type"], t["obj_lang"], t["obj_direction"],
+                         t["graph"], None)
                     )
             except JsonLdError as e:
-                out.append(
-                    (conv_id, turn_idx, None, None, None, None, None, None,
-                     None, None, e.code.value)
-                )
+                out = [
+                    (None, None, None, None, None, None, None, None,
+                     e.code.value)
+                ]
+        result = tuple(out)
+        if len(self._doc_cache) >= self.DOC_CACHE_MAX:
+            # FIFO eviction: drop the oldest insertion (dict is ordered)
+            self._doc_cache.pop(next(iter(self._doc_cache)))
+        self._doc_cache[raw] = result
+        return result
+
+    def expand_turn(self, conv_id: str, turn_idx: int, text, tool) -> list[tuple]:
+        """All triples (or quarantine rows) for one turn."""
+        out: list[tuple] = []
+        if isinstance(tool, str) and tool:
+            for part in self._expand_doc(tool):
+                out.append((conv_id, turn_idx) + part)
+        if isinstance(text, str) and "<jsonld>" in text:
+            for raw in _INLINE_RE.findall(text):
+                for part in self._expand_doc(raw):
+                    out.append((conv_id, turn_idx) + part)
         return out
 
 

@@ -106,8 +106,12 @@ def main() -> None:
 
     from tools.hw_envelope import measure_retention
 
-    env = measure_retention(args.low, args.high)
-    print(f"hw envelope: {json.dumps(env)}", flush=True)
+    # rho itself is noisy under hypervisor steal; take the MAX over three
+    # measurements — the most conservative choice (highest hardware
+    # capability assumed → least normalization credit to the job).
+    envs = [measure_retention(args.low, args.high) for _ in range(3)]
+    env = max(envs, key=lambda e: e["retention_rho"])
+    print(f"hw envelope (max-of-3): {json.dumps(env)}", flush=True)
     rho = env["retention_rho"]
 
     pairs = []
@@ -155,7 +159,8 @@ def main() -> None:
             "## Hardware envelope correction\n\n"
             "Per-core throughput retention rho when going from "
             f"{args.low} to {args.high} busy cores, measured with a Spark-free\n"
-            "pure-CPU JSON workload (tools/hw_envelope.py, min-of-5):\n"
+            "pure-CPU JSON workload (tools/hw_envelope.py, min-of-5 per trial, max rho\n"
+            "over 3 trials — the conservative choice):\n"
             f"rho = {rho} (unit wall {env['unit_wall_low_s']}s @ {args.low} procs → "
             f"{env['unit_wall_high_s']}s @ {args.high} procs).\n"
             "On identical dedicated cluster nodes rho ≈ 1.0; on this VM, CPU\n"
