@@ -78,24 +78,38 @@ def minhash_lsh_pairs(
     assert n_hashes % n_bands == 0
     rows = n_hashes // n_bands
     sigs = minhash_signatures(docs, n_hashes)
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        bands.append(
-            sigs.select(
-                "doc_id",
+    # All bands from ONE pass: explode an array of (band, band_hash) structs
+    # instead of a union of per-band selects. The union form re-derives the
+    # whole tokenize→minhash pipeline once per band per join side (16 scans
+    # of the corpus at 4 bands — measured via tools/explain_audit.py); the
+    # explode form scans it once per join side.
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_hash"),
             )
-        )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
-    # prune single-member buckets before the self-join
-    bucket_sizes = all_bands.groupBy("band", "band_hash").agg(
-        F.count("*").alias("k")
-    ).where(F.col("k") > 1)
-    member = all_bands.join(bucket_sizes.select("band", "band_hash"), ["band", "band_hash"])
+            for b in range(n_bands)
+        ]
+    )
+    all_bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    # prune single-member buckets before the self-join: a window count over
+    # the same (band, band_hash) key the join shuffles on — no extra scan,
+    # and the join below reuses the window's hash partitioning
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy("band", "band_hash")
+    member = (
+        all_bands.withColumn("k", F.count("*").over(bucket_w))
+        .where(F.col("k") > 1)
+        .drop("k")
+    )
     left = member.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
     right = member.select("band", "band_hash", F.col("doc_id").alias("doc_b"))
     return (
@@ -127,6 +141,16 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # PITFALL (measured, do not "optimize"): carrying the set size alongside
+    # the explode via a two-step select
+    # (select(gs) -> select(size(gs), explode(gs))) looks like it saves the
+    # `sizes` re-scans, but Catalyst's CollapseProject substitutes the whole
+    # shingle pipeline into BOTH size() and explode() — the tokenizer then
+    # runs twice per row and the scan gets 4x slower (17s vs 4.4s at sf0.1).
+    # The formulation below re-derives `shingled` for the two join sides and
+    # the sizes agg (3 pruned-column scans), which benches fastest and keeps
+    # the plan checkpoint-free (no materialization of the exploded table,
+    # which at 100 TB would dwarf the extra scans).
     shingled = docs.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
@@ -141,8 +165,15 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        inter
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.round(
