@@ -317,6 +317,81 @@ def _rel_nation_revenue(spark, sf_dir):
     )
 
 
+def _rel_rollup_orders(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation (grouping-sets family)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def _rel_anti_customers(spark, sf_dir):
+    """Left-anti join: customers with no high-value (>450k) order."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def _rel_distinct_parts(spark, sf_dir):
+    """Exact distinct-count aggregation per group (expand-based plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def _kg_error_stats(spark, sf_dir):
+    """Quarantine-row taxonomy: error_code counts from the extraction kernel
+    (reference error-code surface, src/error.rs:14-215). The fixture corpus
+    is all-valid, so this query deterministically corrupts a slice of tool
+    payloads (truncated JSON; invalid @context) to drive the quarantine
+    path end-to-end. rows-only check."""
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    tr = synth_transcripts(spark, sf_dir)
+    bucket = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(20))
+    corrupted = tr.withColumn(
+        "tool",
+        F.when(F.col("tool").isNull(), F.col("tool"))
+        .when(bucket == 0, F.concat(F.lit("{"), F.col("tool")))  # bad JSON
+        .when(
+            bucket == 1,
+            F.lit('{"@context": 42, "@id": "http://ex.org/x", "p": 1}'),
+        )  # invalid local context -> spec error code
+        .otherwise(F.col("tool")),
+    )
+    triples = extract_triples(corrupted)
+    return (
+        triples.groupBy("error_code")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .orderBy(F.col("error_code").asc_nulls_first())
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (custom ops — rows-only check, kernel-oracle-tested)
@@ -347,6 +422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_events": _rel_window_events,
         "rel_sessionize": _rel_sessionize,
         "rel_nation_revenue": _rel_nation_revenue,
+        "rel_rollup_orders": _rel_rollup_orders,
+        "rel_anti_customers": _rel_anti_customers,
+        "rel_distinct_parts": _rel_distinct_parts,
+        "kg_error_stats": _kg_error_stats,
     }
 
 
@@ -524,5 +603,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier ON l_suppkey = s_suppkey "
             "JOIN nation ON s_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        "rel_rollup_orders": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+            "round(sum(o_totalprice), 2) AS total FROM orders "
+            "GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
+            "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+        ),
+        "rel_anti_customers": (
+            "SELECT c_custkey, c_name, c_nationkey FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_totalprice > 450000) "
+            "ORDER BY c_custkey"
+        ),
+        "rel_distinct_parts": (
+            "SELECT p_brand, count(DISTINCT l_partkey) AS n_parts, "
+            "count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand ORDER BY p_brand"
         ),
     }
