@@ -150,11 +150,18 @@ def compact_document(ctx: Context, expanded: Any) -> Any:
 def _compact(ctx: Context, active_property: Optional[str], element: Any, inverse) -> Any:
     if isinstance(element, list):
         out = [_compact(ctx, active_property, item, inverse) for item in element]
-        if len(out) == 1 and (
-            active_property is None
-            or not _td(ctx, active_property)
-            or not _td(ctx, active_property).container
+        td_ap = _td(ctx, active_property) if active_property else None
+        # a list-container term's expanded value is [{"@list": [...]}]; the
+        # @list branch below unwraps the inner array, so collapse the
+        # now-redundant outer singleton too (§6.1 step for list containers)
+        if (
+            td_ap is not None
+            and td_ap.container_contains("@list")
+            and len(out) == 1
+            and isinstance(out[0], list)
         ):
+            return out[0]
+        if len(out) == 1 and (td_ap is None or not td_ap.container):
             return out[0]
         return out
     if not isinstance(element, Mapping):
