@@ -392,6 +392,28 @@ def _kg_error_stats(spark, sf_dir):
     )
 
 
+def _mm_features(spark, sf_dir):
+    """Multimodal feature extraction over the deterministic media table
+    (decode stubbed with the fake kernel; Spark plumbing real). rows-only."""
+    from json_ld_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 200), fake=True).select(
+        "media_id",
+        "kind",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "n_bytes",
+    )
+
+
+def _mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (JVM-side sequence explode)."""
+    from json_ld_spark.operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 200), every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    ).orderBy("media_id", "frame_ts_ms")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (custom ops — rows-only check, kernel-oracle-tested)
@@ -426,6 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_anti_customers": _rel_anti_customers,
         "rel_distinct_parts": _rel_distinct_parts,
         "kg_error_stats": _kg_error_stats,
+        # multimodal plumbing (decode stubbed; plan/schema real)
+        "mm_features": _mm_features,
+        "mm_frame_sample": _mm_frame_sample,
     }
 
 
@@ -615,6 +640,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_totalprice > 450000) "
             "ORDER BY c_custkey"
+        ),
+        "mm_frame_sample": (
+            "WITH media AS (SELECT t.media_id, "
+            "CASE WHEN t.media_id % 3 = 0 THEN 'image' "
+            "WHEN t.media_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "CASE WHEN t.media_id % 3 <> 0 THEN (t.media_id % 10) * 1000 + 500 END AS duration_ms "
+            "FROM (SELECT unnest(range(200)) AS media_id) t) "
+            "SELECT media_id, unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms "
+            "FROM media WHERE kind = 'video' ORDER BY media_id, frame_ts_ms"
         ),
         "rel_distinct_parts": (
             "SELECT p_brand, count(DISTINCT l_partkey) AS n_parts, "

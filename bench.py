@@ -52,6 +52,16 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up: fork all Python workers (pandas/pyarrow import per worker)
+    # and exercise codegen once, so the first timed query isn't charged
+    # one-time session costs that a long-lived cluster job never sees.
+    def _identity(batches):
+        yield from batches
+
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        _identity, "id long"
+    ).count()
+
     qs = entrymod.queries()
     subset = os.environ.get("BENCH_QUERIES")
     if subset:
