@@ -82,12 +82,25 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    def _fingerprint(df: DataFrame):
+        """(count, xor-of-row-hashes) — one cheap aggregate job."""
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    fp = _fingerprint(e)
     for _ in range(max_iterations):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        if e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty():
+        fp2 = _fingerprint(e2)
+        # cheap O(1)-row gate every iteration; the exact symmetric-difference
+        # check runs only when the fingerprints agree (i.e. once, at
+        # convergence) instead of 2 full exceptAll jobs per iteration
+        if fp2 == fp and e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty():
             e = e2
             break
-        e = e2
+        e, fp = e2, fp2
     # at convergence the graph is a union of stars rooted at component minima
     membership = (
         _symmetrize(e)
