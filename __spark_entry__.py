@@ -188,6 +188,17 @@ def _sim_topk(spark, sf_dir):
     return cosine_topk(emb, k=5, queries=queries)
 
 
+def _sim_ivf_topk(spark, sf_dir):
+    """IVF-quantized ANN: spherical k-means cells + n_probe search with
+    exact JVM-side re-rank. rows-only (k-means not SQL-expressible);
+    recall-vs-exact pinned by tests/test_operators_ivf.py."""
+    from json_ld_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_cells=8, n_probe=6
+    )
+
+
 def _sim_lsh_topk(spark, sf_dir):
     from json_ld_spark.operators.similarity import lsh_topk
 
@@ -433,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_cosine_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
+        "sim_ivf_topk": _sim_ivf_topk,
         # text analysis
         "text_token_count": _text_tokens,
         "text_quality": _text_quality,

@@ -1,0 +1,61 @@
+"""IVF approximate-nearest-neighbor tests: determinism + recall vs the
+exact brute-force baseline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.operators.similarity import (
+    assign_ivf_cells,
+    cosine_topk,
+    ivf_topk,
+    train_ivf_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_centroids_deterministic_and_normalized(embeddings):
+    import numpy as np
+
+    c1 = train_ivf_centroids(embeddings, n_cells=8, n_iters=2)
+    c2 = train_ivf_centroids(embeddings, n_cells=8, n_iters=2)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+
+def test_assignment_covers_all_vectors(embeddings):
+    cents = train_ivf_centroids(embeddings, n_cells=8, n_iters=1)
+    cells = assign_ivf_cells(embeddings, cents, n_probe=1)
+    assert cells.count() == embeddings.count()
+    assert cells.select("vec_id").distinct().count() == embeddings.count()
+    n_used = cells.select("cell").distinct().count()
+    assert n_used > 1  # quantizer actually partitions the space
+
+
+def test_ivf_recall_vs_exact(embeddings):
+    k = 5
+    exact = cosine_topk(embeddings, k=k).select("vec_id", "neighbor_id")
+    approx = ivf_topk(embeddings, k=k, n_cells=8, n_probe=6).select(
+        "vec_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    hits = exact.intersect(approx).count()
+    recall = hits / n_exact
+    # 10 label clusters over 8 cells: clusters straddle cell boundaries, so
+    # recall needs n_probe > n_cells/2. Measured (deterministic): probe 2 →
+    # 0.50, 4 → 0.76, 6 → 0.92, 8 (=exact) → 1.00.
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_ivf_full_probe_is_exact(embeddings):
+    k = 3
+    sub = embeddings.where(F.col("vec_id") < 80)
+    exact = cosine_topk(sub, k=k).select("vec_id", "neighbor_id", "rank")
+    approx = ivf_topk(sub, k=k, n_cells=4, n_probe=4).select(
+        "vec_id", "neighbor_id", "rank"
+    )
+    assert exact.exceptAll(approx).count() == 0
+    assert approx.exceptAll(exact).count() == 0
