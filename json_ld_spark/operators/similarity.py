@@ -157,17 +157,15 @@ def train_ivf_centroids(
     centroid matrix lives on the driver and ships to executors by closure —
     the standard IVF pattern (train small, apply at scale).
     """
-    init = (
-        embeddings.orderBy("vec_id")
-        .limit(n_cells)
-        .select("embedding")
-        .collect()
-    )
+    # materialize the (vec_id, embedding) projection once: each Lloyd
+    # iteration otherwise re-scans the source twice (assign + member join)
+    embeddings = embeddings.select("vec_id", "embedding").localCheckpoint()
+    init = embeddings.orderBy("vec_id").limit(n_cells).select("embedding").collect()
     centroids = _to_matrix(pd.Series([r["embedding"] for r in init]))
     dim = centroids.shape[1]
     for _ in range(n_iters):
         assigned = assign_ivf_cells(embeddings, centroids, n_probe=1)
-        members = assigned.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        members = assigned.join(embeddings, "vec_id")
         means = (
             members.select("cell", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cell", "pos")

@@ -104,3 +104,25 @@ def test_repartition_salted_spreads_hot_key(spark, sf_dir):
     )
     # the hot conversation spans multiple partitions instead of one straggler
     assert len(per_part) >= 4
+
+
+def test_run_full_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """spark-submit entry path: extraction via manifest buckets + entity
+    layer; results must equal the direct (non-bucketed) pipeline."""
+    from json_ld_spark.pipeline.job import run_full_pipeline
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+    from pyspark.sql import functions as F
+
+    res = run_full_pipeline(spark, sf_dir, str(tmp_path / "wh"), n_buckets=4)
+    assert res.buckets_processed == 4
+    direct = extract_triples(synth_transcripts(spark, sf_dir))
+    assert res.triples.count() == direct.count()
+    # manifest-backed triples carry an extra `bucket` lineage column
+    assert res.triples.select(*direct.columns).exceptAll(direct).count() == 0
+    assert res.nodes is not None and res.edges is not None
+    assert res.nodes.count() > 0
+    # every edge endpoint is a known canonical node
+    node_ids = res.nodes.select(F.col("canon_id").alias("src_canon"))
+    dangling = res.edges.join(node_ids, "src_canon", "left_anti")
+    assert dangling.count() == 0
