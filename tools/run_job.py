@@ -1,0 +1,83 @@
+"""Production entrypoint: full KG-construction job via spark-submit.
+
+    spark-submit --master <cluster> --py-files kgp.zip tools/run_job.py \
+        --sf-dir /root/testdata/sf0.1 --warehouse /tmp/kgp_wh \
+        --out /tmp/kgp_out [--n-buckets 64]
+
+Runs transcripts → bucketed extraction with manifest commit/resume →
+entity linking → connected-components canonicalization, then writes
+``triples`` / ``nodes`` / ``edges`` parquet tables under ``--out``
+(conv-id-bucketed for triples, the same hidden-partitioning function an
+Iceberg ``bucket(conv_id)`` spec uses). Re-running after a failure skips
+committed buckets (idempotent); re-running after success is a no-op for
+extraction and refreshes the derived node/edge tables.
+
+Prints one JSON summary line for orchestration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-buckets", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("kgp-job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from json_ld_spark.pipeline.job import run_full_pipeline
+    from json_ld_spark.pipeline.manifest import bucket_of
+
+    t0 = time.perf_counter()
+    res = run_full_pipeline(
+        spark, args.sf_dir, args.warehouse, n_buckets=args.n_buckets
+    )
+    clean = res.triples.where(F.col("error_code").isNull())
+    (
+        clean.withColumn("__bucket", bucket_of(F.col("conv_id"), args.n_buckets))
+        .repartition(args.n_buckets, "__bucket")
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(os.path.join(args.out, "triples"))
+    )
+    res.nodes.write.mode("overwrite").parquet(os.path.join(args.out, "nodes"))
+    res.edges.write.mode("overwrite").parquet(os.path.join(args.out, "edges"))
+
+    summary = {
+        "run_id": res.run_id,
+        "buckets_processed": res.buckets_processed,
+        "triples": clean.count(),
+        "quarantined": res.triples.where(F.col("error_code").isNotNull()).count(),
+        "nodes": res.nodes.count(),
+        "edges": res.edges.count(),
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
