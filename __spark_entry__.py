@@ -298,12 +298,20 @@ def _rel_sessionize(spark, sf_dir):
             1,
         ).otherwise(0),
     )
+    # Parity-safe aggregates (CORRECTNESS r01 hash_match fix): DuckDB's
+    # sum(int) yields HUGEINT (int128) while Spark yields BIGINT — values
+    # equal, serialized hashes not — so the oracle casts ::BIGINT. The float
+    # sum is made order-independent by summing exact 1e-4-grain integers
+    # (double summation order is nondeterministic across partitions).
     return (
         lagged.groupBy("user_id")
         .agg(
-            F.sum("new_s").alias("n_sessions"),
+            F.sum("new_s").cast("long").alias("n_sessions"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                / F.lit(10000.0)
+            ).alias("total_value"),
         )
         .orderBy("user_id")
     )
@@ -509,7 +517,7 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s "
             "FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) bits "
             "GROUP BY doc_id, bit) "
-            "SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash "
+            "SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash "
             "FROM bitsum GROUP BY doc_id ORDER BY doc_id"
         ),
         "dedup_ngram_jaccard": (
@@ -630,9 +638,10 @@ def oracle_sql() -> dict[str, str]:
             "lag(ts) OVER w IS NULL OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 "
             "THEN 1 ELSE 0 END AS new_s FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
-            "SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events, "
-            "round(sum(value), 4) AS total_value FROM lagged "
-            "GROUP BY user_id ORDER BY user_id"
+            "SELECT user_id, sum(new_s)::BIGINT AS n_sessions, "
+            "count(*) AS n_events, "
+            "sum(round(value * 10000)::BIGINT)::BIGINT / 10000.0 AS total_value "
+            "FROM lagged GROUP BY user_id ORDER BY user_id"
         ),
         "rel_nation_revenue": (
             "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "

@@ -42,6 +42,25 @@ def normalize(rows, cols):
     return sorted(out)
 
 
+def normalize_strict(rows, cols):
+    """Type-tagged exact values — catches representation drifts the 6-dp
+    normalization hides (e.g. DuckDB HUGEINT sums fetched as Decimal vs
+    Spark BIGINT fetched as int), which is what the driver's value-hash
+    actually compares (CORRECTNESS r01: dedup_simhash / rel_sessionize)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float) and math.isnan(v):
+                vals.append("float:nan")
+            else:
+                vals.append(f"{type(v).__name__}:{v!r}")
+        out.append(tuple(vals))
+    return sorted(out)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -70,10 +89,11 @@ def main() -> int:
         s_norm = normalize(srows, scols)
         d_norm = normalize(drows, dcols)
         ok_vals = s_norm == d_norm
-        status = "OK" if (ok_cols and ok_vals) else "FAIL"
+        ok_exact = normalize_strict(srows, scols) == normalize_strict(drows, dcols)
+        status = "OK" if (ok_cols and ok_vals and ok_exact) else "FAIL"
         print(
             f"{name:24s} {status}  spark={len(srows)} duck={len(drows)} "
-            f"cols_match={ok_cols}"
+            f"cols_match={ok_cols} exact={ok_exact}"
         )
         if not ok_cols:
             print(f"    spark cols: {sorted(scols)}")
@@ -83,7 +103,14 @@ def main() -> int:
             extra = [r for r in s_norm if r not in set(d_norm)][:3]
             print(f"    only-in-duck (3): {miss}")
             print(f"    only-in-spark (3): {extra}")
-        if not (ok_cols and ok_vals):
+        elif not ok_exact:
+            ss = normalize_strict(srows, scols)
+            dd = normalize_strict(drows, dcols)
+            drift = [
+                (a, b) for a, b in zip(ss, dd) if a != b
+            ][:3]
+            print(f"    exact-drift (3): {drift}")
+        if not (ok_cols and ok_vals and ok_exact):
             failures.append(name)
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
