@@ -503,11 +503,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1 ORDER BY text_hash"
         ),
         "dedup_minhash_lsh": (
+            # bucket-size cap mirrors minhash_lsh_pairs(max_bucket=64)
             f"{_TOKS_CTE}, tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks), "
             f"sig AS (SELECT doc_id, {sig_cols} FROM tok GROUP BY doc_id), "
-            f"bands AS ({band_selects}) "
+            f"bands AS ({band_selects}), "
+            "member AS (SELECT * FROM (SELECT doc_id, band, band_hash, "
+            "count(*) OVER (PARTITION BY band, band_hash) AS k FROM bands) "
+            "WHERE k > 1 AND k <= 64) "
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash "
+            "FROM member a JOIN member b ON a.band = b.band AND a.band_hash = b.band_hash "
             "WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"
         ),
         "dedup_simhash": (

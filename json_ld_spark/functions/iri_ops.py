@@ -77,8 +77,9 @@ def expand_term_col(col: Column, ctx: Context) -> Column:
     post-freeze: keyword passthrough → defined-term lookup (null tombstone
     blocks vocab fallback, iri.rs:261-272 / W3C t0032) → blank node →
     compact-IRI via declared prefix (iri.rs:274-297) → absolute passthrough
-    → vocab concat (iri.rs:299-303) → null (no document-relative here:
-    vocab mode, matching expand_str(vocab=true)).
+    → vocab concat (iri.rs:299-303) → unchanged passthrough (step 9,
+    iri.rs:330 — with no @vocab a relative value returns as-is, same as the
+    kernel; there is no document-relative resolution in vocab mode).
     """
     term_map: dict[str, str] = {}
     tombstones: list[str] = []
@@ -110,10 +111,13 @@ def expand_term_col(col: Column, ctx: Context) -> Column:
     expr = expr.when(
         (F.length(pfx) > 0) & sfx.startswith("//"), col
     )
+    # NB: no length(sfx) > 0 guard — step 6.4 (iri.rs:282-291, kernel
+    # context_processing.py step 6.4) concatenates even for an empty suffix,
+    # so a declared prefix with trailing colon ("schema:") expands to the
+    # namespace IRI itself. The split regex already guarantees the colon sits
+    # past position 0, so pfx is non-empty exactly when a split exists.
     for term, ns in sorted(prefixes, key=lambda p: (-len(p[0]), p[0])):
-        expr = expr.when(
-            (pfx == term) & (F.length(sfx) > 0), F.concat(F.lit(ns), sfx)
-        )
+        expr = expr.when(pfx == term, F.concat(F.lit(ns), sfx))
     # NOTE: an undeclared-prefix value like "nope:x" is NOT absolute under
     # the reference's //-heuristic (iri.rs:62-64) — it falls through to
     # vocab concat (step 7) and then the literal fallback (step 9), exactly

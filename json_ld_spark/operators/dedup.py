@@ -67,13 +67,22 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n_hashes: int = 16, n_bands: int = 4
+    docs: DataFrame, n_hashes: int = 16, n_bands: int = 4,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     Returns (doc_a, doc_b) with doc_a < doc_b, distinct. rows_per_band =
     n_hashes / n_bands; two docs pair iff some band's concatenated minhashes
     are identical.
+
+    ``max_bucket`` caps the per-(band, band_hash) bucket size before the
+    self-join: an uncapped hot bucket of k members emits O(k²) pairs — at
+    10^9 docs one degenerate band (e.g. a boilerplate-dominated signature)
+    is a job-killer. Buckets past the cap are dropped entirely; a bucket
+    that large is a boilerplate cluster, not a near-dup candidate set worth
+    pairwise expansion (mirror of same_as_edges(max_block), entity.py). The
+    DuckDB oracle applies the identical cap.
     """
     assert n_hashes % n_bands == 0
     rows = n_hashes // n_bands
@@ -99,15 +108,16 @@ def minhash_lsh_pairs(
     all_bands = sigs.select(
         "doc_id", F.explode(band_structs).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
-    # prune single-member buckets before the self-join: a window count over
-    # the same (band, band_hash) key the join shuffles on — no extra scan,
-    # and the join below reuses the window's hash partitioning
+    # prune single-member buckets (no pair possible) AND over-cap buckets
+    # (O(k²) blowup) before the self-join: a window count over the same
+    # (band, band_hash) key the join shuffles on — no extra scan, and the
+    # join below reuses the window's hash partitioning
     from pyspark.sql import Window
 
     bucket_w = Window.partitionBy("band", "band_hash")
     member = (
         all_bands.withColumn("k", F.count("*").over(bucket_w))
-        .where(F.col("k") > 1)
+        .where((F.col("k") > 1) & (F.col("k") <= max_bucket))
         .drop("k")
     )
     left = member.select("band", "band_hash", F.col("doc_id").alias("doc_a"))

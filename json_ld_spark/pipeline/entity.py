@@ -94,10 +94,17 @@ def entity_dictionary(triples: DataFrame) -> DataFrame:
 
 
 def link_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
-    """J1 — mentions × entity dictionary on block_key. The dictionary is
-    explicitly broadcast: it is bounded by distinct entities (≪ mentions)."""
+    """J1 — mentions × entity dictionary on block_key.
+
+    No forced broadcast: the dictionary is *unbounded* (distinct entities
+    grow with the corpus — at 10^12 turns plausibly 10^8-10^9 rows, far past
+    any safe broadcast threshold). AQE picks broadcast-hash when the built
+    side is actually small and falls back to a shuffled join when it isn't;
+    skewed block keys are additionally covered by AQE skew-join splitting
+    (session.py enables both). tests/test_pipeline_entity.py pins that a
+    past-threshold dictionary still produces a non-broadcast plan."""
     return mentions.join(
-        F.broadcast(entities.select("block_key", F.col("entity_iri").alias("cand_entity"))),
+        entities.select("block_key", F.col("entity_iri").alias("cand_entity")),
         "block_key",
         "left",
     ).select(

@@ -160,6 +160,7 @@ def extract_triples(
     transcripts: DataFrame,
     contexts: Optional[ContextDict] = None,
     dedup: bool = True,
+    dedup_turns: bool = False,
 ) -> DataFrame:
     """transcripts → triples DataFrame (quarantine rows included;
     filter ``error_code IS NULL`` for clean triples).
@@ -168,16 +169,33 @@ def extract_triples(
     mapInPandas kernel (with in-kernel per-turn exact dedup — see inline
     note for why that equals a global dropDuplicates) — a single map-only
     stage, no exchange.
+
+    PRECONDITION for ``dedup=True``'s global-dedup guarantee: (conv_id,
+    turn_idx) is unique in ``transcripts``. The streaming path enforces this
+    with dropDuplicatesWithinWatermark (streaming/ingest.py); batch callers
+    with possibly-replayed turn rows (retried tool calls re-appended by an
+    upstream writer) must pass ``dedup_turns=True``, which inserts a cheap
+    pre-kernel ``dropDuplicates(["conv_id","turn_idx"])`` on the *candidate*
+    rows — a shuffle of the JSON-bearing slice only, far smaller than the
+    full-output shuffle the old global dropDuplicates paid. The job path
+    (pipeline/job.py) enables it.
     """
     contexts = contexts or ContextDict()
-    raw_contexts = contexts.raw
-    document_iri = contexts.document_iri
+    # ship the context dictionary as a real broadcast variable: closure
+    # capture re-pickles the dict into every serialized task (10^5 tasks at
+    # target scale), a broadcast ships it once per executor (SURVEY §2 S3)
+    bc = transcripts.sparkSession.sparkContext.broadcast(
+        (contexts.raw, contexts.document_iri)
+    )
 
     candidates = transcripts.select("conv_id", "turn_idx", "text", "tool").where(
         F.col("tool").isNotNull() | F.col("text").contains("<jsonld>")
     )
+    if dedup_turns:
+        candidates = candidates.dropDuplicates(["conv_id", "turn_idx"])
 
     def expand_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raw_contexts, document_iri = bc.value
         expander = TurnExpander(raw_contexts, document_iri)
         for pdf in batches:
             rows: list[tuple] = []

@@ -1,11 +1,29 @@
 """End-to-end KG-construction job (SURVEY.md §3.4 lifecycle).
 
-    transcripts → [resume filter] → salted repartition → mapInPandas kernel
-    → dedup → manifest commit per bucket → entity linking → CC → nodes/edges
+    transcripts → [resume filter] → turn dedup → mapInPandas kernel
+    → single partitioned write → per-bucket manifest commit
+    → entity linking → CC → nodes/edges
 
 Run via ``spark-submit --py-files`` (see bench.py / scripts). The job is
-idempotent: killed after bucket k, a re-run processes only pending buckets
-and the final triples table is identical (tests/test_pipeline_resume.py).
+idempotent: killed after bucket k's manifest commit, a re-run processes only
+pending buckets and the final triples table is identical
+(tests/test_pipeline_resume.py).
+
+Scale shape (the round-1 design rescanned the full input once per bucket —
+2 × n_buckets source scans and zero inter-bucket parallelism; at 100 TB
+that is the difference between 1 pass and 32):
+
+1. ONE aggregate job computes per-bucket input counts (``groupBy(bucket)``).
+2. ONE extraction job writes every pending bucket via
+   ``partitionBy("bucket")`` with dynamic partition overwrite — all buckets
+   extract in parallel, the source is scanned once, and committed buckets'
+   directories are never touched.
+3. A driver-side loop then commits one manifest row per bucket from the
+   *written* files (each read is partition-pruned to that bucket's
+   directory). The manifest row remains the commit point, so resume
+   granularity is still per-bucket: a crash mid-loop leaves later buckets
+   pending, and the re-run's dynamic overwrite of those partitions is
+   idempotent.
 """
 
 from __future__ import annotations
@@ -42,24 +60,54 @@ def run_extraction_job(
     fail_after_bucket: Optional[int] = None,
     with_entity_layer: bool = False,
 ) -> JobResult:
-    """Bucket-wise extraction with manifest commit + resume.
+    """Single-pass bucketed extraction with manifest commit + resume.
 
     ``fail_after_bucket`` is the fault-injection hook for the resume test
-    (FIXTURES.md §5.2).
+    (FIXTURES.md §5.2): it raises after that many manifest commits, leaving
+    the remaining buckets pending (their data is written but uncommitted —
+    exactly the crash-mid-commit window the resume path must handle).
     """
     run_id = uuid.uuid4().hex[:12]
     manifest = ParquetManifest(spark, warehouse, n_buckets)
     pending = manifest.pending_buckets()
+    if not pending:
+        return JobResult(run_id, 0, manifest.read_triples())
 
     bucketed = transcripts.withColumn(
-        "__bucket", bucket_of(F.col("conv_id"), n_buckets)
-    )
+        "bucket", bucket_of(F.col("conv_id"), n_buckets)
+    ).where(F.col("bucket").isin(pending))
+
+    # job 1 — per-bucket input-row counts (one scan, one tiny aggregate)
+    input_rows = {
+        r["bucket"]: r["n"]
+        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+
+    # job 2 — extract + write ALL pending buckets in one pass. The bucket
+    # column is a pure function of conv_id, so it is re-derived on the
+    # kernel output rather than threaded through the Arrow boundary.
+    # dedup_turns=True enforces the (conv_id, turn_idx) uniqueness
+    # precondition of the in-kernel triple dedup on this batch path
+    # (replayed/retried turn rows are common in real transcript corpora).
+    triples = extract_triples(
+        bucketed, contexts, dedup_turns=True
+    ).withColumn("bucket", bucket_of(F.col("conv_id"), n_buckets))
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        triples.write.partitionBy("bucket").mode("overwrite").parquet(
+            manifest.triples_dir
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    # driver loop — commit one manifest row per bucket from the written
+    # files; each read touches only that bucket's directory.
     processed = 0
     for bucket in pending:
-        part = bucketed.where(F.col("__bucket") == bucket).drop("__bucket")
-        input_rows = part.count()
-        triples = extract_triples(part, contexts)
-        manifest.commit_bucket(run_id, bucket, triples, input_rows)
+        manifest.commit_written_bucket(
+            run_id, bucket, input_rows.get(bucket, 0)
+        )
         processed += 1
         if fail_after_bucket is not None and processed > fail_after_bucket:
             raise RuntimeError(f"fault injection after bucket {bucket}")

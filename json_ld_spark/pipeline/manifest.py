@@ -75,6 +75,16 @@ class ParquetManifest:
         manifest row is the commit point, written last."""
         out_dir = os.path.join(self.triples_dir, f"bucket={bucket}")
         triples.write.mode("overwrite").parquet(out_dir)
+        return self.commit_written_bucket(run_id, bucket, input_rows)
+
+    def commit_written_bucket(
+        self, run_id: str, bucket: int, input_rows: int
+    ) -> dict:
+        """Commit the manifest row for a bucket whose data is already on
+        disk (the single-pass ``partitionBy("bucket")`` job path). The read
+        below is partition-pruned to the one bucket directory; the manifest
+        row write is the atomic commit point."""
+        out_dir = os.path.join(self.triples_dir, f"bucket={bucket}")
         written = self.spark.read.parquet(out_dir)
         triples_out = written.where(F.col("error_code").isNull()).count()
         errors = written.where(F.col("error_code").isNotNull()).count()

@@ -29,6 +29,9 @@ CTX_IRIS = [
 EXPAND_INPUTS = [
     "name", "knows", "schema", "ex", "hidden", "when", "label",
     "schema:knows", "schema:name", "ex:other", "nope:x",
+    # empty-suffix compact IRIs: step 6.4 concatenates even when the suffix
+    # is empty, so a declared prefix + ':' expands to the namespace itself
+    "schema:", "ex:", "nope:",
     "http://schema.org/name", "https://a.b/c", "_:b0",
     "@id", "@type", "@notakeyword", "plain", "x",
 ]

@@ -81,6 +81,27 @@ def test_same_as_and_canonicalize(spark, triples):
     assert any(r.pred == "http://schema.org/knows" for r in erows)
 
 
+def test_link_mentions_no_forced_broadcast(spark, sf_dir, triples):
+    """Scale guard: the entity dictionary is unbounded, so link_mentions
+    must NOT force a broadcast. With the auto-broadcast threshold off (the
+    past-threshold case), the physical plan must fall back to a shuffled
+    join (SortMergeJoin / ShuffledHashJoin), proving no broadcast hint is
+    baked into the operator."""
+    mentions = detect_mentions(synth_transcripts(spark, sf_dir))
+    ents = entity_dictionary(triples)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            link_mentions(mentions, ents)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
 def test_mention_detection_and_linking(spark, sf_dir, triples):
     transcripts = synth_transcripts(spark, sf_dir)
     mentions = detect_mentions(transcripts)
