@@ -109,32 +109,54 @@ def lsh_buckets(
 
 
 def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
-    """Approximate top-k: exact cosine ranking within LSH buckets."""
+    """Approximate top-k: exact cosine ranking within LSH buckets.
+
+    Per-bucket numpy matmul via ``applyInPandas`` (same execution shape as
+    ``ivf_topk``): each vector lives in exactly one bucket, so its final
+    top-k is fully decided inside that bucket's group — rank is assigned
+    in-kernel and there is NO window exchange at all. The round-1 version
+    joined the bucket against itself and paid an interpreted Catalyst fold
+    per candidate pair plus a full window shuffle of the scored pairs.
+    Output: (vec_id, neighbor_id, rank, cosine); singleton buckets emit
+    nothing (no candidate neighbors — the LSH recall trade-off)."""
     buckets = lsh_buckets(embeddings, n_planes)
     e = embeddings.join(buckets, "vec_id").select(
-        "vec_id", "bucket", "embedding", _norm_col(F.col("embedding")).alias("norm")
+        "bucket", "vec_id", "embedding"
     )
-    a = e.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    joined = a.join(e, "bucket").where(F.col("q_id") != F.col("vec_id"))
-    scored = joined.select(
-        F.col("q_id").alias("vec_id"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            _dot(F.col("q_emb"), F.col("embedding"))
-            / (F.col("q_norm") * F.col("norm")),
-            6,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", "cosine")
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "rank": pd.Series(dtype="int32"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
+        sims = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
+        ids = pdf["vec_id"].to_numpy()
+        out_q, out_n, out_r, out_c = [], [], [], []
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -sims[i]))
+            rank = 0
+            for j in order:
+                if ids[j] == ids[i]:
+                    continue
+                rank += 1
+                out_q.append(ids[i])
+                out_n.append(ids[j])
+                out_r.append(rank)
+                out_c.append(sims[i, j])
+                if rank >= k:
+                    break
+        return pd.DataFrame(
+            {"vec_id": out_q, "neighbor_id": out_n,
+             "rank": pd.Series(out_r, dtype="int32"), "cosine": out_c}
+        )
+
+    return e.groupBy("bucket").applyInPandas(
+        score_bucket, "vec_id long, neighbor_id long, rank int, cosine double"
     )
 
 
@@ -147,48 +169,62 @@ def _to_matrix(series: pd.Series) -> np.ndarray:
 
 
 def train_ivf_centroids(
-    embeddings: DataFrame, n_cells: int = 16, n_iters: int = 3
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    sample_cap: int = 4096,
 ) -> np.ndarray:
     """Deterministic spherical k-means coarse quantizer (IVF training).
 
-    Init = the ``n_cells`` lowest vec_ids (deterministic, no RNG — scripts
-    must stay replayable); each Lloyd iteration is one distributed assign
-    (Arrow kernel) + one JVM-side per-cell/per-dim mean; the (k × d)
-    centroid matrix lives on the driver and ships to executors by closure —
-    the standard IVF pattern (train small, apply at scale).
+    Trains on a bounded, deterministic sample — the ``sample_cap`` lowest
+    vec_ids, fetched with ONE TakeOrdered job (no full sort materializes) —
+    then runs Lloyd entirely on the driver in numpy. This is the standard
+    IVF shape (train on a sample, apply at scale): the round-1 version ran
+    every Lloyd iteration as a full-corpus distributed pass (3 scans + 3
+    shuffles + 3 collects *per query call*), which at 10^9 vectors is a
+    training job hiding inside every search. Driver memory is bounded by
+    sample_cap × dim doubles; the result is a pure function of the sampled
+    rows (argmax ties break to the lowest cell, numpy ops are
+    deterministic), so runs replay bit-identically.
+
+    Init = the ``n_cells`` lowest vec_ids (deterministic, no RNG). Empty
+    cells keep their previous centroid. Rows are L2-normalized before
+    training (spherical k-means: mean of unit vectors, re-normalized).
     """
-    # materialize the (vec_id, embedding) projection once: each Lloyd
-    # iteration otherwise re-scans the source twice (assign + member join)
-    embeddings = embeddings.select("vec_id", "embedding").localCheckpoint()
-    init = embeddings.orderBy("vec_id").limit(n_cells).select("embedding").collect()
-    centroids = _to_matrix(pd.Series([r["embedding"] for r in init]))
-    dim = centroids.shape[1]
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = _to_matrix(pd.Series([r["embedding"] for r in rows]))
+    centroids = X[:n_cells].copy()
     for _ in range(n_iters):
-        assigned = assign_ivf_cells(embeddings, centroids, n_probe=1)
-        members = assigned.join(embeddings, "vec_id")
-        means = (
-            members.select("cell", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .collect()
-        )
+        assign = np.argmax(X @ centroids.T, axis=1)
         new = centroids.copy()
-        by_cell: dict[int, np.ndarray] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], np.zeros(dim))[r["pos"]] = r["m"]
-        for cell, vec in by_cell.items():
-            nrm = np.linalg.norm(vec)
-            if nrm > 1e-12:
-                new[cell] = vec / nrm
+        for cell in range(len(centroids)):
+            members = X[assign == cell]
+            if len(members):
+                vec = members.mean(axis=0)
+                nrm = np.linalg.norm(vec)
+                if nrm > 1e-12:
+                    new[cell] = vec / nrm
         centroids = new
     return centroids
 
 
 def assign_ivf_cells(
-    embeddings: DataFrame, centroids: np.ndarray, n_probe: int = 1
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 1,
+    with_rank: bool = False,
 ) -> DataFrame:
-    """(vec_id, cell) rows — nearest ``n_probe`` cells per vector by cosine.
-    Arrow-batched matrix product; centroids broadcast via closure capture."""
+    """(vec_id, cell[, probe_rank]) rows — nearest ``n_probe`` cells per
+    vector by cosine. Arrow-batched matrix product; the small (k × d)
+    centroid matrix ships via closure. ``probe_rank`` (0 = nearest) lets
+    one assignment pass serve both the base index (rank 0) and the query
+    probes — the round-1 version ran the kernel twice. Stable argsort makes
+    tie order deterministic (replay-safe)."""
     cn = np.ascontiguousarray(centroids)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -196,17 +232,21 @@ def assign_ivf_cells(
             if not len(pdf):
                 continue
             sims = _to_matrix(pdf["embedding"]) @ cn.T
-            order = np.argsort(-sims, axis=1)[:, :n_probe]
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_probe),
-                    "cell": order.ravel().astype(np.int32),
-                }
-            )
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            out = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_probe),
+                "cell": order.ravel().astype(np.int32),
+            }
+            if with_rank:
+                out["probe_rank"] = np.tile(
+                    np.arange(n_probe, dtype=np.int32), len(pdf)
+                )
+            yield pd.DataFrame(out)
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        kern, "vec_id long, cell int"
+    schema = "vec_id long, cell int" + (
+        ", probe_rank int" if with_rank else ""
     )
+    return embeddings.select("vec_id", "embedding").mapInPandas(kern, schema)
 
 
 def ivf_topk(
@@ -220,34 +260,80 @@ def ivf_topk(
     probe ``n_probe`` cells per query, exact JVM-side re-rank inside the
     candidate set. O(n²) → O(n · n/k · n_probe); recall grows with n_probe
     (n_probe = n_cells degenerates to exact search).
+
+    One assignment pass: the kernel emits all ``n_probe`` probes with
+    ranks, is materialized once (localCheckpoint — at scale, persist to
+    executor storage), and the base index is its rank-0 slice.
+
+    Scoring is a per-cell numpy matmul inside ``applyInPandas`` — the
+    classic IVF execution. The round-1 version materialized every
+    (query, candidate) pair through a join and computed each dot product
+    as an interpreted Catalyst ``aggregate``/``zip_with`` fold (higher-order
+    functions don't codegen): n·n_probe·cell_size wide rows each paying a
+    per-element lambda. Here each cell group ships once across Arrow, one
+    BLAS matmul scores the whole query×member block, and only the per-cell
+    top-k rows (k per query per cell) come back — the shuffle is O(n·probe)
+    input rows and O(n·probe·k) output rows, never the candidate cross
+    product. A base vector lives in exactly one (rank-0) cell, so no
+    cross-cell duplicate pairs exist. Giant cells bound the matmul block; at
+    scale rebalance the quantizer (more cells) rather than capping, since a
+    cell is a recall unit.
     """
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, n_cells)
-    base_cells = assign_ivf_cells(embeddings, centroids, n_probe=1)
-    query_cells = assign_ivf_cells(embeddings, centroids, n_probe=n_probe)
+    cells = assign_ivf_cells(
+        embeddings, centroids, n_probe=n_probe, with_rank=True
+    ).localCheckpoint()
+    base_cells = cells.where(F.col("probe_rank") == 0).select("vec_id", "cell")
+    query_cells = cells.select("vec_id", "cell")
 
-    base = embeddings.select(
-        F.col("vec_id"), F.col("embedding"), _norm_col(F.col("embedding")).alias("norm")
+    e = embeddings.select("vec_id", "embedding")
+    tagged = (
+        e.join(base_cells, "vec_id")
+        .select("cell", F.lit("b").alias("side"), "vec_id", "embedding")
+        .unionByName(
+            e.join(query_cells, "vec_id")
+            .select("cell", F.lit("q").alias("side"), "vec_id", "embedding")
+        )
     )
-    cand_base = base.join(base_cells, "vec_id").select(
-        "cell", "vec_id", "embedding", "norm"
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = pdf[pdf["side"] == "b"]
+        q = pdf[pdf["side"] == "q"]
+        if not len(b) or not len(q):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        B = np.array(b["embedding"].tolist(), dtype=np.float64)
+        Q = np.array(q["embedding"].tolist(), dtype=np.float64)
+        bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+        qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
+        sims = np.round((Q @ B.T) / np.outer(qn, bn), 6)
+        b_ids = b["vec_id"].to_numpy()
+        q_ids = q["vec_id"].to_numpy()
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(q_ids)):
+            # deterministic order: cosine desc, neighbor_id asc, self excluded
+            order = np.lexsort((b_ids, -sims[i]))
+            taken = 0
+            for j in order:
+                if b_ids[j] == q_ids[i]:
+                    continue
+                out_q.append(q_ids[i])
+                out_n.append(b_ids[j])
+                out_c.append(sims[i, j])
+                taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame(
+            {"vec_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+        )
+
+    scored = tagged.groupBy("cell").applyInPandas(
+        score_cell, "vec_id long, neighbor_id long, cosine double"
     )
-    q = base.join(query_cells, "vec_id").select(
-        "cell",
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    joined = q.join(cand_base, "cell").where(F.col("q_id") != F.col("vec_id"))
-    scored = joined.select(
-        F.col("q_id").alias("vec_id"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            _dot(F.col("q_emb"), F.col("embedding"))
-            / (F.col("q_norm") * F.col("norm")),
-            6,
-        ).alias("cosine"),
-    ).dropDuplicates(["vec_id", "neighbor_id"])
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
