@@ -46,7 +46,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------- queries
 
-def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+_TRIPLE_ORDER = [
+    "conv_id", "turn_idx", "subj", "pred", "obj_kind", "obj_value",
+]
+_TRIPLE_ORDER_NULLABLE = ["obj_type", "obj_lang", "obj_direction", "graph"]
+
+
+def _clean_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted clean-triples building block for the kg_* family (adding a
+    global sort here would push a useless exchange under every downstream
+    aggregation)."""
     from json_ld_spark.pipeline.extract import extract_triples
     from json_ld_spark.pipeline.transcripts import synth_transcripts
 
@@ -55,18 +64,50 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship extraction; deterministically ordered for the driver's
+    value-hash (oracle: kernel-generated golden parquet, NULLS FIRST to
+    match Spark's asc_nulls_first)."""
+    return _clean_triples(spark, sf_dir).orderBy(
+        *_TRIPLE_ORDER,
+        *[F.col(c).asc_nulls_first() for c in _TRIPLE_ORDER_NULLABLE],
+    )
+
+
+def _kg_triples_hotconv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path end-to-end (north-rule skew clause): the hot-conversation
+    fixture (one conv_id holding ~50% of turns) routed through
+    repartition_salted before extraction, so the hot conversation spreads
+    over n_salts tasks instead of one straggler. Salting must not change
+    the output: the oracle is the kernel-generated golden for the same hot
+    fixture (tools/make_golden.py); the per-task balance itself is pinned
+    by tests/test_pipeline_resume.py::test_salted_extraction_no_straggler."""
+    from json_ld_spark.operators.skew import repartition_salted
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    hot = synth_transcripts(spark, sf_dir, hot_conv=True)
+    salted = repartition_salted(
+        hot, "conv_id", "turn_idx", n_partitions=32, n_salts=16
+    )
+    return extract_triples(salted).where(F.col("error_code").isNull()).orderBy(
+        *_TRIPLE_ORDER,
+        *[F.col(c).asc_nulls_first() for c in _TRIPLE_ORDER_NULLABLE],
+    )
+
+
 def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.entity import canonicalize
 
-    _, nodes, _ = canonicalize(_kg_triples(spark, sf_dir))
-    return nodes
+    _, nodes, _ = canonicalize(_clean_triples(spark, sf_dir))
+    return nodes.orderBy("canon_id")
 
 
 def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.entity import canonicalize
 
-    _, _, edges = canonicalize(_kg_triples(spark, sf_dir))
-    return edges
+    _, _, edges = canonicalize(_clean_triples(spark, sf_dir))
+    return edges.orderBy("src_canon", "pred", "dst_canon")
 
 
 def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,14 +118,19 @@ def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     transcripts = synth_transcripts(spark, sf_dir)
     mentions = detect_mentions(transcripts)
-    return link_mentions(mentions, entity_dictionary(_kg_triples(spark, sf_dir)))
+    return link_mentions(
+        mentions, entity_dictionary(_clean_triples(spark, sf_dir))
+    ).orderBy(
+        "conv_id", "turn_idx", "surface",
+        F.col("cand_entity").asc_nulls_first(),
+    )
 
 
 def _kg_hub_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted hot-key counts over extracted triples (G3)."""
     from json_ld_spark.operators.skew import salted_count
 
-    triples = _kg_triples(spark, sf_dir)
+    triples = _clean_triples(spark, sf_dir)
     return (
         salted_count(
             triples.where(F.col("obj_kind") == "iri"),
@@ -136,7 +182,7 @@ def _kg_compact_edges(spark, sf_dir):
         },
         cd.document_iri,
     )
-    triples = _kg_triples(spark, sf_dir).where(F.col("obj_kind") == "iri")
+    triples = _clean_triples(spark, sf_dir).where(F.col("obj_kind") == "iri")
     return (
         triples.select(
             compact_iri_col(F.col("subj"), publish_ctx).alias("subj_c"),
@@ -202,7 +248,9 @@ def _sim_ivf_topk(spark, sf_dir):
 def _sim_lsh_topk(spark, sf_dir):
     from json_ld_spark.operators.similarity import lsh_topk
 
-    return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5)
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5).orderBy(
+        "vec_id", "rank"
+    )
 
 
 def _text_tokens(spark, sf_dir):
@@ -384,12 +432,20 @@ def _kg_error_stats(spark, sf_dir):
     (reference error-code surface, src/error.rs:14-215). The fixture corpus
     is all-valid, so this query deterministically corrupts a slice of tool
     payloads (truncated JSON; invalid @context) to drive the quarantine
-    path end-to-end. rows-only check."""
+    path end-to-end. Oracle: golden parquet generated by the Spark-free
+    kernel over the same corruption rule (tools/make_golden.py) — the
+    bucket hash is md5-derived so the rule is engine-independent."""
     from json_ld_spark.pipeline.extract import extract_triples
     from json_ld_spark.pipeline.transcripts import synth_transcripts
 
     tr = synth_transcripts(spark, sf_dir)
-    bucket = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(20))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", "conv_id", "turn_idx")), 1, 4),
+            16, 10,
+        ).cast("long"),
+        F.lit(20),
+    )
     corrupted = tr.withColumn(
         "tool",
         F.when(F.col("tool").isNull(), F.col("tool"))
@@ -421,7 +477,7 @@ def _mm_features(spark, sf_dir):
         "kind",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
         "n_bytes",
-    )
+    ).orderBy("media_id")
 
 
 def _mm_frame_sample(spark, sf_dir):
@@ -435,8 +491,10 @@ def _mm_frame_sample(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # KG pipeline (custom ops — rows-only check, kernel-oracle-tested)
+        # KG pipeline (golden-parquet / materialized-table oracles; see
+        # tools/make_golden.py for the independence rationale)
         "kg_triples": _kg_triples,
+        "kg_triples_hotconv": _kg_triples_hotconv,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_mentions": _kg_mentions,
@@ -482,6 +540,28 @@ _TOKS_CTE = (
     "FROM documents)"
 )
 
+# Golden parquet dir for the non-SQL-expressible operators (kernel-only /
+# numpy mirrors; see tools/make_golden.py for the independence rationale).
+# The driver runs correctness at sf0.01, which these goldens pin.
+_GOLDEN = "/root/repo/tests/golden/sf0.01"
+_G_TRIPLES = f"read_parquet('{_GOLDEN}/triples.parquet')"
+_G_TRANSCRIPTS = f"read_parquet('{_GOLDEN}/transcripts.parquet')"
+
+
+def _compact_case(col: str) -> str:
+    """Mirror of compact_iri_col under the publish context
+    (schema:/v:/ex: prefixes, longest namespace first, exact term match
+    before prefix rewrite) as a DuckDB CASE chain."""
+    return (
+        f"CASE WHEN {col} = 'http://schema.org/' THEN 'schema' "
+        f"WHEN {col} = 'http://ex.org/v#' THEN 'v' "
+        f"WHEN {col} = 'http://ex.org/' THEN 'ex' "
+        f"WHEN starts_with({col}, 'http://schema.org/') THEN 'schema:' || substring({col}, 19) "
+        f"WHEN starts_with({col}, 'http://ex.org/v#') THEN 'v:' || substring({col}, 17) "
+        f"WHEN starts_with({col}, 'http://ex.org/') THEN 'ex:' || substring({col}, 15) "
+        f"ELSE {col} END"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     n_hashes, n_bands = 16, 4
@@ -496,7 +576,99 @@ def oracle_sql() -> dict[str, str]:
         )
         for b in range(n_bands)
     )
+    triple_order = (
+        "conv_id, turn_idx, subj, pred, obj_kind, obj_value, "
+        "obj_type NULLS FIRST, obj_lang NULLS FIRST, "
+        "obj_direction NULLS FIRST, graph NULLS FIRST"
+    )
     return {
+        # ---- kg_* family: oracles over kernel-generated golden parquet
+        # (tools/make_golden.py) or plain SQL over the materialized
+        # transcripts/triples tables
+        "kg_triples": (
+            "SELECT conv_id, turn_idx, subj, pred, obj_kind, obj_value, "
+            "obj_type, obj_lang, obj_direction, graph, error_code "
+            f"FROM {_G_TRIPLES} WHERE error_code IS NULL "
+            f"ORDER BY {triple_order}"
+        ),
+        "kg_triples_hotconv": (
+            "SELECT conv_id, turn_idx, subj, pred, obj_kind, obj_value, "
+            "obj_type, obj_lang, obj_direction, graph, error_code "
+            f"FROM read_parquet('{_GOLDEN}/triples_hot.parquet') "
+            f"WHERE error_code IS NULL ORDER BY {triple_order}"
+        ),
+        "kg_nodes": (
+            "SELECT canon_id, iri, kind, n_aliases "
+            f"FROM read_parquet('{_GOLDEN}/nodes.parquet') ORDER BY canon_id"
+        ),
+        "kg_edges": (
+            "SELECT src_canon, pred, dst_canon, provenance "
+            f"FROM read_parquet('{_GOLDEN}/edges.parquet') "
+            "ORDER BY src_canon, pred, dst_canon"
+        ),
+        "kg_mentions": (
+            "WITH m0 AS (SELECT conv_id, turn_idx, "
+            "unnest(regexp_extract_all(text, '\\b(Agent|Event)\\s+(\\d+)\\b')) AS surface "
+            f"FROM {_G_TRANSCRIPTS}), "
+            "m AS (SELECT conv_id, turn_idx, surface, "
+            "(CASE WHEN starts_with(surface, 'Agent') THEN 'person' ELSE 'event' END) "
+            "|| '-' || CAST(regexp_extract(surface, '(\\d+)$', 1) AS INT) AS block_key "
+            "FROM m0), "
+            "ents AS (SELECT DISTINCT entity_iri FROM ("
+            f"SELECT subj AS entity_iri FROM {_G_TRIPLES} WHERE error_code IS NULL "
+            "UNION ALL "
+            f"SELECT obj_value FROM {_G_TRIPLES} "
+            "WHERE error_code IS NULL AND obj_kind = 'iri') "
+            "WHERE NOT starts_with(entity_iri, '_:') "
+            "AND NOT starts_with(entity_iri, 'http://www.w3.org/')), "
+            "dict AS (SELECT entity_iri AS cand_entity, "
+            "regexp_extract(entity_iri, '([^/#]+)$', 1) AS block_key FROM ents) "
+            "SELECT substring(sha256(concat_ws('|', m.conv_id, m.turn_idx, m.surface)), 1, 16) AS mention_id, "
+            "m.conv_id, m.turn_idx, m.surface, m.block_key, d.cand_entity "
+            "FROM m LEFT JOIN dict d USING (block_key) "
+            "ORDER BY conv_id, turn_idx, surface, cand_entity NULLS FIRST"
+        ),
+        "kg_hub_entities": (
+            f"SELECT obj_value, count(*) AS cnt FROM {_G_TRIPLES} "
+            "WHERE error_code IS NULL AND obj_kind = 'iri' "
+            "GROUP BY obj_value ORDER BY cnt DESC, obj_value LIMIT 20"
+        ),
+        "kg_turn_text_hash": (
+            # NB: the Spark side joins with a unit-separator (0x1f) so turn
+            # boundaries can't alias ("...turn 1" + "2..." vs "...turn 12...")
+            "SELECT conv_id, md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS turn_text_hash, "
+            f"count(*) AS n_turns FROM {_G_TRANSCRIPTS} "
+            "GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "kg_compact_edges": (
+            f"WITH t AS (SELECT subj, pred, obj_value FROM {_G_TRIPLES} "
+            "WHERE error_code IS NULL AND obj_kind = 'iri'), "
+            f"c AS (SELECT {_compact_case('subj')} AS subj_c, "
+            f"{_compact_case('pred')} AS pred_c, "
+            f"{_compact_case('obj_value')} AS obj_c FROM t) "
+            "SELECT subj_c, pred_c, obj_c, count(*) AS n FROM c "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "kg_error_stats": (
+            "SELECT error_code, n, n_convs "
+            f"FROM read_parquet('{_GOLDEN}/error_stats.parquet') "
+            "ORDER BY error_code NULLS FIRST"
+        ),
+        "sim_lsh_topk": (
+            "SELECT vec_id, neighbor_id, rank, cosine "
+            f"FROM read_parquet('{_GOLDEN}/sim_lsh.parquet') "
+            "ORDER BY vec_id, rank"
+        ),
+        "sim_ivf_topk": (
+            "SELECT vec_id, neighbor_id, cosine, rank "
+            f"FROM read_parquet('{_GOLDEN}/sim_ivf.parquet') "
+            "ORDER BY vec_id, rank"
+        ),
+        "mm_features": (
+            "SELECT media_id, kind, f0, n_bytes "
+            f"FROM read_parquet('{_GOLDEN}/mm_features.parquet') "
+            "ORDER BY media_id"
+        ),
         "dedup_exact": (
             "SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS text_hash, "
             "count(*) AS n_dups, min(doc_id) AS keep_doc_id "

@@ -231,7 +231,12 @@ def assign_ivf_cells(
         for pdf in batches:
             if not len(pdf):
                 continue
-            sims = _to_matrix(pdf["embedding"]) @ cn.T
+            # round to the output grain before ordering: BLAS accumulation
+            # order varies with batch shape, so raw last-ulp differences
+            # could flip near-tie cell choices between runs/partitionings;
+            # rounded sims + stable sort make assignment a pure function of
+            # the row, independent of batching (replay + oracle safety)
+            sims = np.round(_to_matrix(pdf["embedding"]) @ cn.T, 6)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             out = {
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_probe),

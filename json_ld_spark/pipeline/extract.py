@@ -156,11 +156,29 @@ class TurnExpander:
         return out
 
 
+class TaskMetricsParam:
+    """AccumulatorParam collecting per-task (input_rows, kernel_seconds)
+    tuples — the straggler-detection surface of SURVEY §5.2-6 (max task ≤
+    2× median after salted repartition). Listener-free: works with the UI
+    disabled and measures exactly the stage where conv-level skew would
+    concentrate (the Python kernel)."""
+
+    @staticmethod
+    def zero(value):
+        return []
+
+    @staticmethod
+    def addInPlace(a, b):
+        a.extend(b)
+        return a
+
+
 def extract_triples(
     transcripts: DataFrame,
     contexts: Optional[ContextDict] = None,
     dedup: bool = True,
     dedup_turns: bool = False,
+    task_metrics_acc=None,
 ) -> DataFrame:
     """transcripts → triples DataFrame (quarantine rows included;
     filter ``error_code IS NULL`` for clean triples).
@@ -195,9 +213,14 @@ def extract_triples(
         candidates = candidates.dropDuplicates(["conv_id", "turn_idx"])
 
     def expand_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         raw_contexts, document_iri = bc.value
         expander = TurnExpander(raw_contexts, document_iri)
+        n_in = 0
+        t0 = _time.perf_counter()
         for pdf in batches:
+            n_in += len(pdf)
             rows: list[tuple] = []
             for conv_id, turn_idx, text, tool in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
@@ -217,5 +240,9 @@ def extract_triples(
                     turn_rows = list(dict.fromkeys(turn_rows))
                 rows.extend(turn_rows)
             yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
+        if task_metrics_acc is not None:
+            # one (input_rows, kernel_seconds) sample per task — the
+            # straggler surface (TaskMetricsParam)
+            task_metrics_acc.add([(n_in, _time.perf_counter() - t0)])
 
     return candidates.mapInPandas(expand_batches, schema=TRIPLE_SCHEMA)

@@ -106,6 +106,43 @@ def test_repartition_salted_spreads_hot_key(spark, sf_dir):
     assert len(per_part) >= 4
 
 
+def test_salted_extraction_no_straggler(spark, sf_dir):
+    """SURVEY §5.2-6: on the hot-conversation fixture, salted repartition
+    must erase the single-task straggler the conv_id partitioning creates.
+    The hard assertion is on per-task INPUT ROWS (deterministic; kernel cost
+    is linear in rows) — wall-clock per task is also collected via the
+    accumulator but only sanity-checked, because hypervisor steal bursts on
+    this sandbox make time-based 2× assertions flaky."""
+    from json_ld_spark.pipeline.extract import TaskMetricsParam, extract_triples
+
+    hot = synth_transcripts(spark, sf_dir, hot_conv=True)
+
+    # unsalted: partitioned by conv_id alone → conv-hot is one straggler task
+    acc_u = spark.sparkContext.accumulator([], TaskMetricsParam())
+    extract_triples(
+        hot.repartition(8, F.col("conv_id")), task_metrics_acc=acc_u
+    ).count()
+    rows_u = sorted(m[0] for m in acc_u.value)
+    median_u = rows_u[len(rows_u) // 2]
+    assert rows_u[-1] > 2 * max(median_u, 1), (
+        f"fixture should produce a straggler without salting: {rows_u}"
+    )
+
+    # salted: (conv_id, salt) spreading bounds every task near the median
+    acc_s = spark.sparkContext.accumulator([], TaskMetricsParam())
+    extract_triples(
+        repartition_salted(hot, "conv_id", "turn_idx", n_partitions=8, n_salts=8),
+        task_metrics_acc=acc_s,
+    ).count()
+    rows_s = sorted(m[0] for m in acc_s.value)
+    median_s = rows_s[len(rows_s) // 2]
+    assert rows_s[-1] <= 2 * max(median_s, 1), (
+        f"salted straggler: max {rows_s[-1]} vs median {median_s} ({rows_s})"
+    )
+    assert rows_s[-1] * 2 <= rows_u[-1], "salting should at least halve the max task"
+    assert all(t >= 0 for _, t in acc_s.value)
+
+
 def test_run_full_pipeline_end_to_end(spark, sf_dir, tmp_path):
     """spark-submit entry path: extraction via manifest buckets + entity
     layer; results must equal the direct (non-bucketed) pipeline."""

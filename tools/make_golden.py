@@ -1,0 +1,502 @@
+"""Golden-oracle generator for the non-SQL-expressible driver queries.
+
+Writes ``tests/golden/<sf>/`` parquet files that ``__spark_entry__.oracle_sql``
+references via DuckDB ``read_parquet`` — turning the formerly rows-only
+kg_* / sim_* / mm_* queries into bit-exact driver correctness rows.
+
+Independence story (what each golden actually pins):
+
+- ``transcripts[_hot].parquet`` — written BY Spark (synth_transcripts): this
+  is input synthesis, not an operator under test; the synthesis expressions
+  are pure deterministic functions of the read-only testdata, so the driver's
+  own re-derivation at correctness time produces identical rows.
+- ``triples[_hot].parquet``, ``error_stats.parquet`` — computed by the
+  SPARK-FREE kernel (json_ld_spark.kernel), looping plain Python over the
+  transcripts parquet with NO mapInPandas, NO memo caches, NO candidate
+  pre-filter plan. A bug in the Spark plumbing (Arrow batching, per-worker
+  caches, pushdown filter, in-kernel dedup) breaks parity; the kernel itself
+  is pinned separately by the reference-parity pytest suite.
+- ``nodes.parquet`` / ``edges.parquet`` — an independent union-find
+  connected-components implementation (the pipeline uses iterative
+  large-star/small-star joins; components are implementation-independent,
+  so agreement is a real cross-check of the distributed algorithm).
+- ``sim_lsh.parquet`` / ``sim_ivf.parquet`` — plain-numpy mirrors of the
+  bucketed ANN operators (same seeds; assignment/scoring round to 6 dp
+  before ordering precisely so results are batch-shape-independent).
+- ``mm_features.parquet`` — pure-hashlib/numpy mirror of the deterministic
+  fake decoder (the Spark side exercises the mapInPandas plumbing).
+
+Usage: python tools/make_golden.py [sf_dir] [golden_dir]
+Defaults: /root/testdata/sf0.01 → tests/golden/sf0.01
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Mapping
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from json_ld_spark.contexts import ContextDict
+from json_ld_spark.kernel import (
+    Context,
+    JsonLdError,
+    expand_document,
+    expanded_to_triples,
+    process_context,
+)
+
+_INLINE_RE = re.compile(r"<jsonld>(.*?)</jsonld>", re.DOTALL)
+
+TRIPLE_COLS = [
+    "conv_id", "turn_idx", "subj", "pred", "obj_kind", "obj_value",
+    "obj_type", "obj_lang", "obj_direction", "graph", "error_code",
+]
+
+
+def spark_round(v: float, scale: int = 6) -> float:
+    """Mirror Spark's ROUND on DoubleType: BigDecimal.valueOf(d) (shortest
+    decimal repr, same contract as Python repr) + HALF_UP."""
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+# ------------------------------------------------------------ transcripts
+
+def write_transcripts(sf_dir: str, out_dir: str) -> None:
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+    from json_ld_spark.session import get_spark
+
+    spark = get_spark(app_name="make-golden")
+    for hot, name in [(False, "transcripts"), (True, "transcripts_hot")]:
+        pdf = (
+            synth_transcripts(spark, sf_dir, hot_conv=hot)
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+        print(f"wrote {name}: {len(pdf)} rows")
+
+
+# ---------------------------------------------------- kernel-only triples
+
+def _expand_doc(raw: str, processor, document_iri: str) -> list[tuple]:
+    """Mirror of pipeline/extract.TurnExpander._expand_doc WITHOUT any
+    caching — straight kernel calls per document."""
+    out: list[tuple] = []
+    try:
+        doc = json.loads(raw)
+    except (json.JSONDecodeError, ValueError):
+        return [(None,) * 8 + ("loading document failed",)]
+    try:
+        ctx_value = doc.get("@context") if isinstance(doc, Mapping) else None
+        if ctx_value is not None:
+            active = process_context(
+                processor, Context(base=document_iri), ctx_value, document_iri
+            )
+            body = {k: v for k, v in doc.items() if k != "@context"}
+        else:
+            active = Context(base=document_iri)
+            body = doc
+        expanded = expand_document(processor, active, body)
+        for t in expanded_to_triples(expanded):
+            out.append(
+                (t["subj"], t["pred"], t["obj_kind"], t["obj_value"],
+                 t["obj_type"], t["obj_lang"], t["obj_direction"],
+                 t["graph"], None)
+            )
+    except JsonLdError as e:
+        out = [(None,) * 8 + (e.code.value,)]
+    return out
+
+
+def extract_rows(transcripts: pd.DataFrame) -> list[tuple]:
+    cd = ContextDict()
+    processor = cd.processor
+    document_iri = cd.document_iri
+    rows: list[tuple] = []
+    for conv_id, turn_idx, text, tool in zip(
+        transcripts["conv_id"], transcripts["turn_idx"],
+        transcripts["text"], transcripts["tool"],
+    ):
+        has_tool = isinstance(tool, str) and bool(tool)
+        has_inline = isinstance(text, str) and "<jsonld>" in text
+        if not (tool is not None or has_inline):
+            continue  # candidate filter parity
+        turn_rows: list[tuple] = []
+        if has_tool:
+            for part in _expand_doc(tool, processor, document_iri):
+                turn_rows.append((conv_id, int(turn_idx)) + part)
+        if has_inline:
+            for raw in _INLINE_RE.findall(text):
+                for part in _expand_doc(raw, processor, document_iri):
+                    turn_rows.append((conv_id, int(turn_idx)) + part)
+        rows.extend(dict.fromkeys(turn_rows))  # per-turn dedup parity
+    return rows
+
+
+def _triples_table(rows: list[tuple]) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[] for _ in TRIPLE_COLS]
+    arrays = [
+        pa.array(cols[0], type=pa.string()),
+        pa.array(cols[1], type=pa.int32()),
+    ] + [pa.array(cols[i], type=pa.string()) for i in range(2, 11)]
+    return pa.Table.from_arrays(arrays, names=TRIPLE_COLS)
+
+
+def write_triples(transcripts: pd.DataFrame, out_dir: str, name: str) -> list[tuple]:
+    rows = extract_rows(transcripts)
+    pq.write_table(_triples_table(rows), os.path.join(out_dir, f"{name}.parquet"))
+    clean = [r for r in rows if r[10] is None]
+    print(f"wrote {name}: {len(rows)} rows ({len(clean)} clean)")
+    return rows
+
+
+# ------------------------------------------------------------ error stats
+
+def write_error_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
+    corrupted = transcripts.copy()
+
+    def corrupt(conv_id, turn_idx, tool):
+        if tool is None or (isinstance(tool, float) and pd.isna(tool)):
+            return tool
+        bucket = int(
+            hashlib.md5(f"{conv_id}:{turn_idx}".encode()).hexdigest()[:4], 16
+        ) % 20
+        if bucket == 0:
+            return "{" + tool
+        if bucket == 1:
+            return '{"@context": 42, "@id": "http://ex.org/x", "p": 1}'
+        return tool
+
+    corrupted["tool"] = [
+        corrupt(c, t, tl)
+        for c, t, tl in zip(
+            corrupted["conv_id"], corrupted["turn_idx"], corrupted["tool"]
+        )
+    ]
+    rows = extract_rows(corrupted)
+    agg: dict = defaultdict(lambda: [0, set()])
+    for r in rows:
+        agg[r[10]][0] += 1
+        agg[r[10]][1].add(r[0] if r[0] is not None else None)
+    # countDistinct skips nulls; conv_id is never null here, but error rows
+    # carry conv_id (position 0) from the turn, so distinct over those
+    out = sorted(
+        ((k, n, len({c for c in convs if c is not None}))
+         for k, (n, convs) in agg.items()),
+        key=lambda r: (r[0] is not None, r[0] or ""),
+    )
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in out], type=pa.string()),
+            pa.array([r[1] for r in out], type=pa.int64()),
+            pa.array([r[2] for r in out], type=pa.int64()),
+        ],
+        names=["error_code", "n", "n_convs"],
+    )
+    pq.write_table(table, os.path.join(out_dir, "error_stats.parquet"))
+    print(f"wrote error_stats: {len(out)} rows")
+
+
+# ---------------------------------------------------- union-find nodes/edges
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _local_name(iri: str) -> str:
+    m = re.search(r"([^/#]+)$", iri)
+    return m.group(1) if m else ""
+
+
+def write_nodes_edges(triple_rows: list[tuple], out_dir: str) -> None:
+    clean = [r for r in triple_rows if r[10] is None]
+    entities = set()
+    for r in clean:
+        for iri in (r[2],) + ((r[5],) if r[4] == "iri" else ()):
+            if iri.startswith("_:") or iri.startswith("http://www.w3.org/"):
+                continue
+            entities.add(iri)
+
+    # star edges per block (size in (1, 64]) → union-find
+    parent: dict[str, str] = {e: e for e in entities}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    blocks: dict[str, list[str]] = defaultdict(list)
+    for e in entities:
+        blocks[_local_name(e)].append(e)
+    for members in blocks.values():
+        if 1 < len(members) <= 64:
+            m = min(members)
+            for x in members:
+                if x != m:
+                    union(x, m)
+
+    groups: dict[str, list[str]] = defaultdict(list)
+    for e in entities:
+        groups[find(e)].append(e)
+    canon: dict[str, str] = {}
+    for members in groups.values():
+        label = min(members)
+        for e in members:
+            canon[e] = label
+
+    node_rows = []
+    for label, members in groups.items():
+        cid = min(members)
+        kind = (
+            "person" if "person" in cid
+            else "event" if "event" in cid
+            else "org" if "org" in cid
+            else "other"
+        )
+        node_rows.append((cid, min(members), kind, len(members)))
+    node_rows.sort()
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in node_rows], type=pa.string()),
+                pa.array([r[1] for r in node_rows], type=pa.string()),
+                pa.array([r[2] for r in node_rows], type=pa.string()),
+                pa.array([r[3] for r in node_rows], type=pa.int64()),
+            ],
+            names=["canon_id", "iri", "kind", "n_aliases"],
+        ),
+        os.path.join(out_dir, "nodes.parquet"),
+    )
+
+    edge_counts: dict[tuple, int] = defaultdict(int)
+    for r in clean:
+        if r[4] != "iri" or r[3].startswith(_RDF_NS):
+            continue
+        if r[2] not in canon or r[5] not in canon:
+            continue  # inner-join parity: endpoints must be dictionary entities
+        edge_counts[(canon[r[2]], r[3], canon[r[5]])] += 1
+    edge_rows = sorted(
+        (src, pred, dst, n) for (src, pred, dst), n in edge_counts.items()
+    )
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in edge_rows], type=pa.string()),
+                pa.array([r[1] for r in edge_rows], type=pa.string()),
+                pa.array([r[2] for r in edge_rows], type=pa.string()),
+                pa.array([r[3] for r in edge_rows], type=pa.int64()),
+            ],
+            names=["src_canon", "pred", "dst_canon", "provenance"],
+        ),
+        os.path.join(out_dir, "edges.parquet"),
+    )
+    print(f"wrote nodes: {len(node_rows)} rows, edges: {len(edge_rows)} rows")
+
+
+# ------------------------------------------------------------ ANN mirrors
+
+def _to_matrix(list_of_vecs) -> np.ndarray:
+    X = np.array([list(v) for v in list_of_vecs], dtype=np.float64)
+    norms = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return X / norms
+
+
+def write_sim_lsh(emb: pd.DataFrame, out_dir: str, k: int = 5, n_planes: int = 6) -> None:
+    mat32 = np.stack([np.asarray(v, dtype=np.float32) for v in emb["embedding"]])
+    planes = np.random.default_rng(42).standard_normal((n_planes, mat32.shape[1]))
+    signs = (mat32 @ planes.T) >= 0
+    buckets = ["".join("1" if b else "0" for b in row) for row in signs]
+    ids = emb["vec_id"].to_numpy()
+
+    by_bucket: dict[str, list[int]] = defaultdict(list)
+    for i, b in enumerate(buckets):
+        by_bucket[b].append(i)
+    out = []
+    for members in by_bucket.values():
+        if len(members) < 2:
+            continue
+        M = np.array([list(emb["embedding"].iloc[i]) for i in members], dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
+        sims = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
+        mids = ids[members]
+        for i in range(len(mids)):
+            order = np.lexsort((mids, -sims[i]))
+            rank = 0
+            for j in order:
+                if mids[j] == mids[i]:
+                    continue
+                rank += 1
+                out.append((int(mids[i]), int(mids[j]), rank, float(sims[i, j])))
+                if rank >= k:
+                    break
+    out.sort(key=lambda r: (r[0], r[2]))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in out], type=pa.int64()),
+                pa.array([r[1] for r in out], type=pa.int64()),
+                pa.array([r[2] for r in out], type=pa.int32()),
+                pa.array([r[3] for r in out], type=pa.float64()),
+            ],
+            names=["vec_id", "neighbor_id", "rank", "cosine"],
+        ),
+        os.path.join(out_dir, "sim_lsh.parquet"),
+    )
+    print(f"wrote sim_lsh: {len(out)} rows")
+
+
+def write_sim_ivf(
+    emb: pd.DataFrame, out_dir: str,
+    k: int = 5, n_cells: int = 8, n_probe: int = 6,
+    n_iters: int = 3, sample_cap: int = 4096,
+) -> None:
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X_sample = _to_matrix(emb["embedding"].iloc[:sample_cap])
+    centroids = X_sample[:n_cells].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X_sample @ centroids.T, axis=1)
+        new = centroids.copy()
+        for cell in range(len(centroids)):
+            members = X_sample[assign == cell]
+            if len(members):
+                vec = members.mean(axis=0)
+                nrm = np.linalg.norm(vec)
+                if nrm > 1e-12:
+                    new[cell] = vec / nrm
+        centroids = new
+
+    Xn = _to_matrix(emb["embedding"])
+    sims_c = np.round(Xn @ centroids.T, 6)
+    order = np.argsort(-sims_c, axis=1, kind="stable")[:, :n_probe]
+    ids = emb["vec_id"].to_numpy()
+    base_cell = order[:, 0]
+
+    cell_members: dict[int, list[int]] = defaultdict(list)
+    for i, c in enumerate(base_cell):
+        cell_members[int(c)].append(i)
+    cell_queries: dict[int, list[int]] = defaultdict(list)
+    for i in range(len(ids)):
+        for c in order[i]:
+            cell_queries[int(c)].append(i)
+
+    per_query: dict[int, list[tuple]] = defaultdict(list)
+    for cell, q_idx in cell_queries.items():
+        b_idx = cell_members.get(cell, [])
+        if not b_idx:
+            continue
+        B = np.array([list(emb["embedding"].iloc[i]) for i in b_idx], dtype=np.float64)
+        Q = np.array([list(emb["embedding"].iloc[i]) for i in q_idx], dtype=np.float64)
+        bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+        qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
+        sims = np.round((Q @ B.T) / np.outer(qn, bn), 6)
+        b_ids = ids[b_idx]
+        for qi in range(len(q_idx)):
+            q_id = int(ids[q_idx[qi]])
+            sorder = np.lexsort((b_ids, -sims[qi]))
+            taken = 0
+            for j in sorder:
+                if b_ids[j] == q_id:
+                    continue
+                per_query[q_id].append((float(sims[qi, j]), int(b_ids[j])))
+                taken += 1
+                if taken >= k:
+                    break
+    out = []
+    for q_id in sorted(per_query):
+        cands = sorted(per_query[q_id], key=lambda t: (-t[0], t[1]))
+        for rank, (cos, nb) in enumerate(cands[:k], start=1):
+            out.append((q_id, nb, cos, rank))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in out], type=pa.int64()),
+                pa.array([r[1] for r in out], type=pa.int64()),
+                pa.array([r[2] for r in out], type=pa.float64()),
+                pa.array([r[3] for r in out], type=pa.int64()),
+            ],
+            names=["vec_id", "neighbor_id", "cosine", "rank"],
+        ),
+        os.path.join(out_dir, "sim_ivf.parquet"),
+    )
+    print(f"wrote sim_ivf: {len(out)} rows")
+
+
+# ------------------------------------------------------------ mm features
+
+def write_mm_features(out_dir: str, n: int = 200) -> None:
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for media_id in range(n):
+        kind = kinds[media_id % 3]
+        payload = hashlib.sha256(str(media_id).encode()).hexdigest().encode()
+        digest = hashlib.sha256(payload).digest()
+        arr = np.frombuffer(digest * 8, dtype=np.uint8)[: 16 * 16].reshape(16, 16)
+        hist = np.histogram(arr, bins=8, range=(0, 255))[0]
+        feats = (hist / max(hist.sum(), 1)).astype(np.float32)
+        rows.append(
+            (media_id, kind, spark_round(float(feats[0]), 6), len(payload))
+        )
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], type=pa.int64()),
+                pa.array([r[1] for r in rows], type=pa.string()),
+                pa.array([r[2] for r in rows], type=pa.float64()),
+                pa.array([r[3] for r in rows], type=pa.int32()),
+            ],
+            names=["media_id", "kind", "f0", "n_bytes"],
+        ),
+        os.path.join(out_dir, "mm_features.parquet"),
+    )
+    print(f"wrote mm_features: {len(rows)} rows")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(repo, "tests", "golden", os.path.basename(sf_dir.rstrip("/")))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    write_transcripts(sf_dir, out_dir)
+    transcripts = pd.read_parquet(os.path.join(out_dir, "transcripts.parquet"))
+    rows = write_triples(transcripts, out_dir, "triples")
+    write_error_stats(transcripts, out_dir)
+    write_nodes_edges(rows, out_dir)
+    hot = pd.read_parquet(os.path.join(out_dir, "transcripts_hot.parquet"))
+    write_triples(hot, out_dir, "triples_hot")
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    write_sim_lsh(emb, out_dir)
+    write_sim_ivf(emb, out_dir)
+    write_mm_features(out_dir)
+    print(f"golden dir: {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
