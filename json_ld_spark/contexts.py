@@ -14,9 +14,24 @@ exercises a distinct reference algorithm branch (citations inline).
 from __future__ import annotations
 
 import json
-from typing import Mapping, Optional
+from typing import Mapping, NamedTuple, Optional
 
-from .kernel import Context, ProcessorOptions, process_context
+from .kernel import (
+    Context,
+    ErrorCode,
+    JsonLdError,
+    LoadDocumentOptions,
+    ProcessorOptions,
+    process_context,
+)
+
+
+class RemoteDocument(NamedTuple):
+    """Mirror of reference ``RemoteDocument`` (src/remote.rs:112-120)."""
+
+    context_url: Optional[str]
+    document_url: str
+    document: dict
 
 # ctx_iri → context *document* (a JSON object containing "@context").
 FIXTURE_CONTEXTS: dict[str, dict] = {
@@ -117,6 +132,26 @@ class ContextDict:
         return ProcessorOptions(
             document_iri=self.document_iri, context_loader=self.raw
         )
+
+    def load(
+        self, iri: str, options: Optional[LoadDocumentOptions] = None
+    ) -> RemoteDocument:
+        """``LoadRemoteDocument::load`` surface (src/remote.rs:39-109):
+        dictionary lookup honoring the caching contract trivially (the dict
+        IS the cache; a context is never re-dereferenced, :29-38), raising
+        the spec error on a miss (src/error.rs:196-198).
+
+        ``options`` (extract_all_scripts / profile / request_profile) are
+        accepted for API parity but have no observable effect here: they
+        only matter for HTML script extraction and HTTP content
+        negotiation, and this loader is offline by design — the same
+        reason the reference's own remote path is unreachable (quirk R1).
+        """
+        _ = options or LoadDocumentOptions()
+        doc = self.raw.get(iri)
+        if doc is None:
+            raise JsonLdError(ErrorCode.LOADING_REMOTE_CONTEXT_FAILED, iri)
+        return RemoteDocument(context_url=None, document_url=iri, document=doc)
 
     def compiled(self, ctx_iri: str) -> Context:
         if ctx_iri not in self._compiled:

@@ -28,6 +28,7 @@ from .expand_doc import (
     expanded_to_triples,
 )
 from .compact import compact_document, compact_iri, compact_value
+from .profile import LoadDocumentOptions, Profile, RequestProfile
 
 __all__ = [
     "ErrorCode",
@@ -45,4 +46,7 @@ __all__ = [
     "compact_document",
     "compact_iri",
     "compact_value",
+    "LoadDocumentOptions",
+    "Profile",
+    "RequestProfile",
 ]
