@@ -59,6 +59,7 @@ def run_extraction_job(
     contexts: Optional[ContextDict] = None,
     fail_after_bucket: Optional[int] = None,
     with_entity_layer: bool = False,
+    snapshot_id: Optional[str] = None,
 ) -> JobResult:
     """Single-pass bucketed extraction with manifest commit + resume.
 
@@ -106,7 +107,7 @@ def run_extraction_job(
     processed = 0
     for bucket in pending:
         manifest.commit_written_bucket(
-            run_id, bucket, input_rows.get(bucket, 0)
+            run_id, bucket, input_rows.get(bucket, 0), snapshot_id
         )
         processed += 1
         if fail_after_bucket is not None and processed > fail_after_bucket:
@@ -130,4 +131,36 @@ def run_full_pipeline(
     transcripts = synth_transcripts(spark, sf_dir)
     return run_extraction_job(
         spark, transcripts, warehouse, n_buckets, with_entity_layer=True
+    )
+
+
+def run_snapshot_pipeline(
+    spark: SparkSession,
+    store,
+    warehouse: str,
+    n_buckets: int = 16,
+    fail_after_bucket: Optional[int] = None,
+) -> JobResult:
+    """Extraction job over a SnapshotStore (pipeline/snapshots.py) with the
+    input snapshot PINNED across resume: the first run records the store's
+    current snapshot id in every manifest row; a resumed run re-reads that
+    same snapshot, so appends committed between crash and resume cannot
+    leak into this run's output (north rule: resume idempotently from the
+    last committed snapshot). A later fresh run (new warehouse) picks up
+    the newer snapshot."""
+    manifest = ParquetManifest(spark, warehouse, n_buckets)
+    pinned = manifest.pinned_snapshot()
+    if pinned is None:
+        current = store.current_snapshot_id()
+        if current is None:
+            raise ValueError("snapshot store is empty")
+        pinned = str(current)
+    transcripts = store.read(int(pinned))
+    return run_extraction_job(
+        spark,
+        transcripts,
+        warehouse,
+        n_buckets,
+        fail_after_bucket=fail_after_bucket,
+        snapshot_id=pinned,
     )

@@ -22,13 +22,14 @@ from __future__ import annotations
 
 import os
 import time
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = (
     "run_id string, partition_id int, input_rows long, triples_out long, "
-    "errors long, checksum string, ts double"
+    "errors long, checksum string, snapshot_id string, ts double"
 )
 
 
@@ -63,22 +64,48 @@ class ParquetManifest:
         done = self.committed_buckets()
         return [b for b in range(self.n_buckets) if b not in done]
 
+    def pinned_snapshot(self) -> Optional[str]:
+        """Input snapshot id recorded by previously committed buckets, if
+        any — a resumed run MUST re-read the same snapshot (north rule:
+        resume idempotently from the last committed snapshot), so new
+        appends between crash and resume don't leak into this run."""
+        files = [
+            os.path.join(self.manifest_dir, f)
+            for f in os.listdir(self.manifest_dir)
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return None
+        rows = (
+            self.spark.read.parquet(*files)
+            .where(F.col("snapshot_id").isNotNull())
+            .select("snapshot_id")
+            .limit(1)
+            .collect()
+        )
+        return rows[0]["snapshot_id"] if rows else None
+
     def commit_bucket(
         self,
         run_id: str,
         bucket: int,
         triples: DataFrame,
         input_rows: int,
+        snapshot_id: Optional[str] = None,
     ) -> dict:
         """Write one bucket's triples + its manifest row. The triples write
         lands in a bucket-named directory (idempotent overwrite); the
         manifest row is the commit point, written last."""
         out_dir = os.path.join(self.triples_dir, f"bucket={bucket}")
         triples.write.mode("overwrite").parquet(out_dir)
-        return self.commit_written_bucket(run_id, bucket, input_rows)
+        return self.commit_written_bucket(run_id, bucket, input_rows, snapshot_id)
 
     def commit_written_bucket(
-        self, run_id: str, bucket: int, input_rows: int
+        self,
+        run_id: str,
+        bucket: int,
+        input_rows: int,
+        snapshot_id: Optional[str] = None,
     ) -> dict:
         """Commit the manifest row for a bucket whose data is already on
         disk (the single-pass ``partitionBy("bucket")`` job path). The read
@@ -107,6 +134,7 @@ class ParquetManifest:
             "triples_out": triples_out,
             "errors": errors,
             "checksum": str(checksum),
+            "snapshot_id": None if snapshot_id is None else str(snapshot_id),
             "ts": time.time(),
         }
         tmp = os.path.join(self.manifest_dir, f"_tmp_bucket_{bucket}")

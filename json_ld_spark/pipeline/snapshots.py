@@ -1,0 +1,130 @@
+"""Snapshot-pinned table IO: Iceberg API surface + parquet stand-in.
+
+North-rule S1/K1 name true Iceberg semantics: snapshot-pinned reads
+(``option("snapshot-id", …)``) and atomic-snapshot appends (``writeTo``).
+This module provides one ``SnapshotStore`` contract with two
+implementations:
+
+- ``IcebergSnapshotStore`` — the real API calls, for deployments with an
+  Iceberg catalog on the classpath. Not executable in this sandbox (no
+  Iceberg jars); enable with spark-submit conf::
+
+      spark-submit \
+        --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+        --conf spark.sql.catalog.kg=org.apache.iceberg.spark.SparkCatalog \
+        --conf spark.sql.catalog.kg.type=hadoop \
+        --conf spark.sql.catalog.kg.warehouse=hdfs://…/warehouse \
+        job.py --table kg.db.transcripts --use-iceberg
+
+- ``ParquetSnapshotStore`` — the sandbox default: the SAME contract over
+  parquet with real snapshot semantics. Each ``append`` writes an
+  immutable data directory and then atomically commits a new snapshot
+  entry (cumulative file-list manifest + ``os.replace``, the commit
+  point); ``read(snapshot_id)`` sees exactly the data committed at that
+  snapshot, so a resumed job re-reads the SAME input even if appends
+  landed meanwhile — the "resume idempotently from the last committed
+  snapshot" clause, honored for real and tested
+  (tests/test_pipeline_snapshots.py).
+
+Single-writer by design (one driver commits); Iceberg's optimistic
+concurrency takes over on real deployments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergSnapshotStore:
+    """Iceberg-backed store: ``writeTo().append()`` + snapshot-id reads.
+
+    Mirrors SURVEY §2 S1/K1. Requires an Iceberg catalog (see module
+    docstring); every method is a thin veneer over the public API so the
+    surface stays auditable.
+    """
+
+    def __init__(self, spark: SparkSession, table: str) -> None:
+        self.spark = spark
+        self.table = table
+
+    def current_snapshot_id(self) -> Optional[int]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return rows[0]["snapshot_id"] if rows else None
+
+    def read(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        reader = self.spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.load(self.table)
+
+    def append(self, df: DataFrame) -> Optional[int]:
+        df.writeTo(self.table).append()  # atomic snapshot commit
+        return self.current_snapshot_id()
+
+
+class ParquetSnapshotStore:
+    """Parquet stand-in with genuine snapshot semantics (sandbox default).
+
+    Layout::
+
+        root/
+          data/<uuid>/part-*.parquet   # immutable append payloads
+          snapshots.json               # [{id, dirs(cumulative), ts}, ...]
+
+    The ``snapshots.json`` rewrite via ``os.replace`` is the atomic commit
+    point: a crash mid-append leaves an orphan data dir that no snapshot
+    references (invisible to every reader) — the same guarantee an Iceberg
+    metadata-pointer swap gives.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.meta_path = os.path.join(root, "snapshots.json")
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    def _snapshots(self) -> list[dict]:
+        if not os.path.exists(self.meta_path):
+            return []
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def current_snapshot_id(self) -> Optional[int]:
+        snaps = self._snapshots()
+        return snaps[-1]["id"] if snaps else None
+
+    def read(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        snaps = self._snapshots()
+        if snapshot_id is not None:
+            matching = [s for s in snaps if s["id"] == snapshot_id]
+            if not matching:
+                raise ValueError(f"unknown snapshot id {snapshot_id}")
+            snap = matching[0]
+        elif snaps:
+            snap = snaps[-1]
+        else:
+            raise ValueError("store has no snapshots")
+        return self.spark.read.parquet(*snap["dirs"])
+
+    def append(self, df: DataFrame) -> int:
+        out = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
+        df.write.parquet(out)
+        snaps = self._snapshots()
+        prev_dirs = snaps[-1]["dirs"] if snaps else []
+        new_id = (snaps[-1]["id"] + 1) if snaps else 1
+        snaps.append({"id": new_id, "dirs": prev_dirs + [out], "ts": time.time()})
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f)
+        os.replace(tmp, self.meta_path)  # atomic commit point
+        return new_id

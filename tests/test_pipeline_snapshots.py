@@ -1,0 +1,99 @@
+"""Snapshot-store semantics + snapshot-pinned resume (SURVEY §2 S1/K1).
+
+The ParquetSnapshotStore is the sandbox stand-in for the Iceberg surface —
+same contract (atomic append commit, snapshot-pinned read); the
+IcebergSnapshotStore methods are thin veneers over the public Iceberg API
+and need a catalog on the classpath (documented spark-submit conf in
+pipeline/snapshots.py), so they are not executable here.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_ld_spark.pipeline.job import run_snapshot_pipeline
+from json_ld_spark.pipeline.manifest import ParquetManifest
+from json_ld_spark.pipeline.snapshots import ParquetSnapshotStore
+from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+
+def _sorted_triples(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "conv_id", "turn_idx", "subj", "pred", "obj_kind", "obj_value",
+            "obj_type", "obj_lang", "obj_direction", "graph", "error_code",
+        ).collect()
+    )
+
+
+def test_snapshot_store_append_read_pin(spark, tmp_path):
+    store = ParquetSnapshotStore(spark, str(tmp_path / "store"))
+    assert store.current_snapshot_id() is None
+    with pytest.raises(ValueError):
+        store.read()
+
+    a = spark.range(10).select(F.col("id").alias("v"))
+    sid1 = store.append(a)
+    assert sid1 == 1
+    assert store.current_snapshot_id() == 1
+    assert store.read().count() == 10
+
+    b = spark.range(10, 25).select(F.col("id").alias("v"))
+    sid2 = store.append(b)
+    assert sid2 == 2
+    # pinned read sees exactly the first commit; latest sees the union
+    assert store.read(sid1).count() == 10
+    assert store.read().count() == 25
+    assert store.read(sid2).count() == 25
+    with pytest.raises(ValueError):
+        store.read(99)
+
+
+def test_orphan_data_invisible_without_commit(spark, tmp_path):
+    """A crash between data write and snapshot commit must leave the store
+    unchanged for readers — the atomic-commit guarantee."""
+    import os
+
+    store = ParquetSnapshotStore(spark, str(tmp_path / "store2"))
+    store.append(spark.range(5).select(F.col("id").alias("v")))
+    # simulate a crashed append: data dir exists, no snapshot references it
+    orphan = os.path.join(store.data_dir, "orphan000000")
+    spark.range(100).select(F.col("id").alias("v")).write.parquet(orphan)
+    assert store.read().count() == 5
+    assert store.current_snapshot_id() == 1
+
+
+def test_resume_pins_input_snapshot(spark, sf_dir, tmp_path):
+    """Kill after 2 buckets, append NEW data to the store, resume: the
+    resumed run must re-read the pinned snapshot, so the final triples
+    equal an uninterrupted run over snapshot 1 — the new append is
+    invisible until a fresh run starts."""
+    store = ParquetSnapshotStore(spark, str(tmp_path / "store3"))
+    transcripts = synth_transcripts(spark, sf_dir)
+    store.append(transcripts)
+
+    # uninterrupted baseline over snapshot 1
+    base = run_snapshot_pipeline(spark, store, str(tmp_path / "w_base"), 4)
+    golden = _sorted_triples(base.triples)
+
+    # crash after 2 buckets
+    w = str(tmp_path / "w_pin")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        run_snapshot_pipeline(spark, store, w, 4, fail_after_bucket=1)
+
+    # new data lands between crash and resume
+    extra = transcripts.withColumn(
+        "conv_id", F.concat(F.lit("late-"), F.col("conv_id"))
+    )
+    store.append(extra)
+    assert store.current_snapshot_id() == 2
+
+    resumed = run_snapshot_pipeline(spark, store, w, 4)
+    assert _sorted_triples(resumed.triples) == golden  # no late- rows
+    manifest = ParquetManifest(spark, w, 4).read_manifest()
+    sids = {r.snapshot_id for r in manifest.collect()}
+    assert sids == {"1"}
+
+    # a FRESH run (new warehouse) picks up snapshot 2
+    fresh = run_snapshot_pipeline(spark, store, str(tmp_path / "w_fresh"), 4)
+    assert len(_sorted_triples(fresh.triples)) == 2 * len(golden)
