@@ -2,6 +2,7 @@ from .iri_ops import (
     classify_iri_col,
     compact_iri_col,
     expand_term_col,
+    expand_term_join,
     prefix_suffix_split,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "classify_iri_col",
     "compact_iri_col",
     "expand_term_col",
+    "expand_term_join",
     "prefix_suffix_split",
 ]

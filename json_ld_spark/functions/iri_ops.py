@@ -127,6 +127,87 @@ def expand_term_col(col: Column, ctx: Context) -> Column:
     return expr.otherwise(col)
 
 
+def expand_term_join(
+    df, col_name: str, ctx: Context, out_col: str = "expanded"
+):
+    """Large-context realization of :func:`expand_term_col` as a pair of
+    broadcast joins against a terms table (the fallback promised in the
+    module docstring): the per-term CASE chain grows one Catalyst branch
+    per definition, which at real vocabulary sizes (10³-10⁴ terms) blows
+    past the codegen method-size limit and falls back to slow interpreted
+    evaluation. Here the term→IRI map becomes data, not plan:
+
+        df LEFT JOIN broadcast(terms)    ON value  == term      (step 4/5)
+           LEFT JOIN broadcast(prefixes) ON prefix == term      (step 6.4)
+
+    then one small, term-count-independent CASE resolves the precedence
+    (keyword → keyword-form → defined term / null tombstone → blank node →
+    '//'-suffix passthrough → prefix concat → vocab concat → step-9
+    passthrough) — exactly expand_term_col's order, which the tests pin on
+    both a small context (column-vs-join equivalence on every value class)
+    and a 5 000-term context (vs the kernel directly).
+
+    Returns ``df`` with ``out_col`` appended. Exact-term equality means at
+    most one terms row matches per input row, so row count is preserved.
+    A matched term with a null IRI is the tombstone: the hit flag (not the
+    IRI's nullness) decides the branch, so tombstones yield null rather
+    than falling through to @vocab (W3C t0032 semantics).
+    """
+    spark = df.sparkSession
+    term_rows = [
+        (term, td.iri if td is not None else None,
+         bool(td is not None and td.is_prefix))
+        for term, td in ctx.term_definitions.items()
+    ]
+    terms = spark.createDataFrame(
+        term_rows or [(None, None, None)],
+        "term string, iri string, is_prefix boolean",
+    ).where(F.col("term").isNotNull())
+
+    col = F.col(col_name)
+    pfx, sfx = prefix_suffix_split(col)
+    j = (
+        df.withColumn("__pfx", pfx)
+        .withColumn("__sfx", sfx)
+        .join(
+            F.broadcast(
+                terms.select(
+                    F.col("term").alias("__term"),
+                    F.col("iri").alias("__term_iri"),
+                    F.lit(True).alias("__term_hit"),
+                )
+            ),
+            col == F.col("__term"),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                terms.where(F.col("is_prefix") & F.col("iri").isNotNull()).select(
+                    F.col("term").alias("__pfx_term"),
+                    F.col("iri").alias("__pfx_iri"),
+                )
+            ),
+            F.col("__pfx") == F.col("__pfx_term"),
+            "left",
+        )
+    )
+    expr = (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(col.isin(*sorted(KEYWORDS)), col)
+        .when(col.rlike(r"^@[A-Za-z]+$"), F.lit(None).cast("string"))
+        .when(F.col("__term_hit"), F.col("__term_iri"))
+        .when(col.startswith("_:"), col)
+        .when((F.length(F.col("__pfx")) > 0) & F.col("__sfx").startswith("//"), col)
+        .when(F.col("__pfx_iri").isNotNull(), F.concat(F.col("__pfx_iri"), F.col("__sfx")))
+    )
+    if ctx.vocab is not None:
+        expr = expr.when(F.lit(True), F.concat(F.lit(ctx.vocab), col))
+    return j.withColumn(out_col, expr.otherwise(col)).drop(
+        "__pfx", "__sfx", "__term", "__term_iri", "__term_hit",
+        "__pfx_term", "__pfx_iri",
+    )
+
+
 # ---------------------------------------------------------------- compact
 
 def compact_iri_col(col: Column, ctx: Context) -> Column:

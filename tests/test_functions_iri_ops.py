@@ -13,6 +13,7 @@ from json_ld_spark.functions import (
     classify_iri_col,
     compact_iri_col,
     expand_term_col,
+    expand_term_join,
     prefix_suffix_split,
 )
 from json_ld_spark.kernel import expand_iri
@@ -63,6 +64,52 @@ def test_expand_term_col_matches_kernel(spark, ctxdict, ctx_iri):
         for r in df.select("v", expand_term_col(F.col("v"), ctx).alias("out")).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("ctx_iri", CTX_IRIS)
+def test_expand_term_join_matches_col(spark, ctxdict, ctx_iri):
+    """The broadcast-join realization must agree with the CASE-chain
+    realization on every value class (both are pinned to the kernel)."""
+    ctx = ctxdict.compiled(ctx_iri)
+    df = spark.createDataFrame([(v,) for v in EXPAND_INPUTS], "v string")
+    via_col = {
+        r["v"]: r["out"]
+        for r in df.select("v", expand_term_col(F.col("v"), ctx).alias("out")).collect()
+    }
+    via_join = {
+        r["v"]: r["out"]
+        for r in expand_term_join(df, "v", ctx, "out").select("v", "out").collect()
+    }
+    assert via_join == via_col
+
+
+def test_expand_term_join_large_context(spark, ctxdict):
+    """5 000-term context: the CASE chain would exceed codegen limits, the
+    join form must stay a pair of broadcast joins and match the kernel."""
+    from json_ld_spark.kernel import Context, expand_iri, process_context
+
+    big = {"@vocab": "http://ex.org/v#", "p": "http://ex.org/big/", "dead": None}
+    for i in range(5000):
+        big[f"term{i}"] = f"http://ex.org/big#t{i}"
+    cd = ctxdict
+    ctx = process_context(
+        cd.processor, Context(base=cd.document_iri), big, cd.document_iri
+    )
+    inputs = [
+        "term0", "term123", "term4999", "dead", "p:suffix", "p:",
+        "@id", "@notakeyword", "_:b1", "zzz", "nope:x", "x://y",
+        "http://a.b/c",
+    ]
+    want = {
+        v: expand_iri(cd.processor, ctx, v, vocab=True, document_relative=False)
+        for v in inputs
+    }
+    df = spark.createDataFrame([(v,) for v in inputs], "v string")
+    out = expand_term_join(df, "v", ctx, "out")
+    got = {r["v"]: r["out"] for r in out.select("v", "out").collect()}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2, plan
 
 
 @pytest.mark.parametrize("ctx_iri", CTX_IRIS)
