@@ -467,6 +467,37 @@ def _kg_error_stats(spark, sf_dir):
     )
 
 
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+
+
+def _train_sample(spark, sf_dir):
+    """Deterministic per-source stratified sampling (training-mix step)."""
+    from json_ld_spark.operators.training import sample_stratified
+
+    return (
+        sample_stratified(
+            _t(spark, sf_dir, "documents"), _SAMPLE_RATES, default_rate=0.1
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _train_pack(spark, sf_dir):
+    """Concatenate-then-chunk sequence packing (window arithmetic only)."""
+    from json_ld_spark.operators.training import pack_chunks
+
+    return pack_chunks(_t(spark, sf_dir, "documents"), budget=512, n_groups=8)
+
+
+def _train_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: LSH pairs → distributed CC; oracle
+    recomputes the closure with a recursive CTE (independent algorithm)."""
+    from json_ld_spark.operators.training import neardup_clusters
+
+    return neardup_clusters(_t(spark, sf_dir, "documents"))
+
+
 def _mm_features(spark, sf_dir):
     """Multimodal feature extraction over the deterministic media table
     (decode stubbed with the fake kernel; Spark plumbing real). rows-only."""
@@ -526,6 +557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_anti_customers": _rel_anti_customers,
         "rel_distinct_parts": _rel_distinct_parts,
         "kg_error_stats": _kg_error_stats,
+        # training-data assembly (sampling / packing / clustering)
+        "train_sample_stratified": _train_sample,
+        "train_pack_chunks": _train_pack,
+        "train_neardup_clusters": _train_clusters,
         # multimodal plumbing (decode stubbed; plan/schema real)
         "mm_features": _mm_features,
         "mm_frame_sample": _mm_frame_sample,
@@ -576,6 +611,27 @@ def oracle_sql() -> dict[str, str]:
         )
         for b in range(n_bands)
     )
+    # shared MinHash-LSH candidate-pair body (bucket cap mirrors
+    # minhash_lsh_pairs(max_bucket=64)); expects a `toks` CTE in scope
+    minhash_body = (
+        "tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM tok GROUP BY doc_id), "
+        f"bands AS ({band_selects}), "
+        "member AS (SELECT * FROM (SELECT doc_id, band, band_hash, "
+        "count(*) OVER (PARTITION BY band, band_hash) AS k FROM bands) "
+        "WHERE k > 1 AND k <= 64), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM member a JOIN member b ON a.band = b.band AND a.band_hash = b.band_hash "
+        "WHERE a.doc_id < b.doc_id)"
+    )
+    toks_def = (
+        "toks AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+        "FROM documents)"
+    )
+    sample_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(_SAMPLE_RATES.items())
+    ) + " ELSE 0.1 END"
     triple_order = (
         "conv_id, turn_idx, subj, pred, obj_kind, obj_value, "
         "obj_type NULLS FIRST, obj_lang NULLS FIRST, "
@@ -675,16 +731,42 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1 ORDER BY text_hash"
         ),
         "dedup_minhash_lsh": (
-            # bucket-size cap mirrors minhash_lsh_pairs(max_bucket=64)
-            f"{_TOKS_CTE}, tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks), "
-            f"sig AS (SELECT doc_id, {sig_cols} FROM tok GROUP BY doc_id), "
-            f"bands AS ({band_selects}), "
-            "member AS (SELECT * FROM (SELECT doc_id, band, band_hash, "
-            "count(*) OVER (PARTITION BY band, band_hash) AS k FROM bands) "
-            "WHERE k > 1 AND k <= 64) "
-            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "FROM member a JOIN member b ON a.band = b.band AND a.band_hash = b.band_hash "
-            "WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"
+            f"{_TOKS_CTE}, {minhash_body} "
+            "SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"
+        ),
+        "train_sample_stratified": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE ('0x' || substring(md5(doc_id::VARCHAR || '#sample'), 1, 8))::BIGINT "
+            f"/ 4294967296.0 < {sample_case} ORDER BY doc_id"
+        ),
+        "train_pack_chunks": (
+            "WITH wc AS (SELECT doc_id, "
+            "('0x' || substring(md5(doc_id::VARCHAR || '#pack'), 1, 8))::BIGINT % 8 AS pack_group, "
+            "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens "
+            "FROM documents), "
+            "f AS (SELECT * FROM wc WHERE n_tokens > 0), "
+            "o AS (SELECT doc_id, pack_group, n_tokens, "
+            "coalesce(sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset "
+            "FROM f) "
+            "SELECT doc_id, pack_group, tok_offset, n_tokens, "
+            "(tok_offset // 512)::BIGINT AS first_chunk, "
+            "((tok_offset + n_tokens - 1) // 512)::BIGINT AS last_chunk "
+            "FROM o ORDER BY pack_group, doc_id"
+        ),
+        "train_neardup_clusters": (
+            # independent closure algorithm (recursive-CTE label
+            # propagation) vs the pipeline's large/small-star CC
+            f"WITH RECURSIVE {toks_def}, {minhash_body}, "
+            "sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs "
+            "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+            "reach(node, label) AS (SELECT DISTINCT s, s FROM sym "
+            "UNION SELECT sym.d, reach.label FROM reach JOIN sym ON sym.s = reach.node), "
+            "comp AS (SELECT node AS doc_id, min(label) AS cluster_id "
+            "FROM reach GROUP BY node) "
+            "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+            "d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep "
+            "FROM documents d LEFT JOIN comp c USING (doc_id) ORDER BY doc_id"
         ),
         "dedup_simhash": (
             f"{_TOKS_CTE}, tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks), "

@@ -1,0 +1,172 @@
+"""Training-data assembly operators: stratified sampling, sequence packing,
+near-duplicate clustering.
+
+These complete the LLM-pipeline suite (dedup.py / similarity.py /
+textstats.py / multimodal.py) with the three steps that turn a cleaned
+corpus into a training mix:
+
+- ``sample_stratified`` — per-source keep rates via a deterministic
+  md5-derived uniform (no RNG: replayable, and bit-identical in the DuckDB
+  oracle). One map-side filter, no shuffle, pushdown-friendly.
+- ``pack_chunks`` — concatenate-then-chunk sequence packing (the standard
+  pretraining layout): documents are streamed in deterministic order
+  within hash groups and the token stream is cut into fixed-size chunks;
+  each document's chunk span is pure window arithmetic — no UDF, fully
+  SQL-expressible, embarrassingly parallel across groups.
+- ``neardup_clusters`` — MinHash-LSH candidate pairs (dedup.py) promoted
+  to transitive clusters via the same large/small-star connected
+  components the KG entity layer uses (pipeline/cc.py); each cluster
+  keeps its minimum doc_id as canonical. The DuckDB oracle recomputes the
+  closure with a recursive CTE — an independent algorithm, so agreement
+  cross-checks the distributed CC itself.
+
+Scale notes: sampling/packing are shuffle-minimal (packing shuffles once
+by pack_group — at 10^9 docs pick n_groups ≈ cluster parallelism so groups
+stay executor-sized); clustering inherits the capped-bucket guarantees of
+minhash_lsh_pairs plus CC's O(log²) rounds with per-iteration checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import minhash_lsh_pairs
+
+
+def _uniform01(col: F.Column, salt: str) -> F.Column:
+    """Deterministic uniform in [0, 1): first 8 hex chars of
+    md5(value#salt) over 2^32 — identical in Spark and DuckDB."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(f"#{salt}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each document with its source's rate (deterministic).
+
+    ``rates`` maps source → keep probability; unseen sources use
+    ``default_rate``. The decision is a pure function of (doc_id, salt),
+    so re-runs and the oracle agree bit-for-bit, and changing one source's
+    rate never perturbs another source's sample (per-doc independence).
+    """
+    rate = None
+    for src, r in sorted(rates.items()):
+        cond = F.col("source") == src
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(
+            cond, F.lit(float(r))
+        )
+    rate = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    return docs.where(_uniform01(F.col("doc_id"), salt) < rate)
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int = 512,
+    n_groups: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concatenate-then-chunk packing plan.
+
+    Documents hash into ``n_groups`` independent streams; within a stream
+    they are ordered by doc_id and their token counts laid end-to-end; the
+    stream is cut every ``budget`` tokens. Returns one row per document:
+
+        (doc_id, pack_group, tok_offset, n_tokens, first_chunk, last_chunk)
+
+    ``first_chunk``/``last_chunk`` are the chunk ids the document's tokens
+    land in (a document may straddle chunks — the standard pretraining
+    packing). Zero-token documents are dropped. Pure window arithmetic:
+    one shuffle by pack_group, no UDF, exact SQL oracle.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    with_counts = docs.select(
+        "doc_id",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"#{salt}"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(n_groups),
+        ).alias("pack_group"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_counts.withColumn(
+            "tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "pack_group",
+            "tok_offset",
+            "n_tokens",
+            F.floor(F.col("tok_offset") / budget).alias("first_chunk"),
+            F.floor(
+                (F.col("tok_offset") + F.col("n_tokens") - 1) / budget
+            ).alias("last_chunk"),
+        )
+        .orderBy("pack_group", "doc_id")
+    )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Transitive near-duplicate clusters from MinHash-LSH candidate pairs.
+
+    Returns (doc_id, cluster_id, keep): ``cluster_id`` is the minimum
+    doc_id of the document's connected component in the candidate-pair
+    graph (singletons are their own cluster), ``keep`` marks the canonical
+    representative — the row a dedup pipeline retains.
+
+    CC runs on zero-padded string ids so pipeline/cc.py's lexicographic
+    min IS the numeric min. The oracle recomputes the closure with a
+    DuckDB recursive CTE (independent algorithm — label propagation vs
+    large/small-star), so a green row cross-checks the distributed CC.
+    """
+    from ..pipeline.cc import connected_components
+
+    pairs = minhash_lsh_pairs(docs, n_hashes, n_bands, max_bucket)
+    edges = pairs.select(
+        F.format_string("%012d", F.col("doc_a")).alias("src"),
+        F.format_string("%012d", F.col("doc_b")).alias("dst"),
+    )
+    comp = connected_components(edges).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )

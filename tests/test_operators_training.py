@@ -1,0 +1,93 @@
+"""Training-data assembly operators: sampling, packing, clustering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+# NB: operator modules are imported lazily inside tests — dedup.py binds
+# F.col() in default args at import time, which needs a live SparkContext
+# (pytest collection runs before the session fixture).
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_sample_stratified_rates_and_determinism(spark, docs):
+    from json_ld_spark.operators.training import sample_stratified
+
+    rates = {"src0": 1.0, "src1": 0.0}
+    out = sample_stratified(docs, rates, default_rate=0.5)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("src0") == totals["src0"]  # rate 1.0 keeps all
+    assert "src1" not in by_src                  # rate 0.0 keeps none
+    # default-rate sources land strictly between the extremes
+    others = sum(v for k, v in by_src.items() if k not in rates)
+    others_total = sum(v for k, v in totals.items() if k not in rates)
+    assert 0 < others < others_total
+    # deterministic: re-run identical
+    again = sample_stratified(docs, rates, default_rate=0.5)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
+    # a different salt draws a different (but same-law) sample
+    other_salt = sample_stratified(docs, rates, default_rate=0.5, salt="v2")
+    assert sorted(r["doc_id"] for r in other_salt.select("doc_id").collect()) != sorted(
+        r["doc_id"] for r in out.select("doc_id").collect()
+    )
+
+
+def test_pack_chunks_stream_invariants(spark, docs):
+    from json_ld_spark.operators.training import pack_chunks
+
+    budget = 128
+    out = pack_chunks(docs, budget=budget, n_groups=4).collect()
+    assert out
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in rows:
+            # contiguous token stream: no gaps, no overlaps
+            assert r["tok_offset"] == offset
+            offset += r["n_tokens"]
+            # chunk span arithmetic
+            assert r["first_chunk"] == r["tok_offset"] // budget
+            assert r["last_chunk"] == (r["tok_offset"] + r["n_tokens"] - 1) // budget
+            assert r["first_chunk"] <= r["last_chunk"]
+    # every group's stream is fully covered: total chunks ≈ total tokens
+    for rows in by_group.values():
+        total = sum(r["n_tokens"] for r in rows)
+        assert rows[-1]["tok_offset"] + rows[-1]["n_tokens"] == total
+
+
+def test_neardup_clusters_consistency(spark, docs):
+    from json_ld_spark.operators.dedup import minhash_lsh_pairs
+    from json_ld_spark.operators.training import neardup_clusters
+
+    clusters = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in neardup_clusters(docs).collect()
+    }
+    assert len(clusters) == docs.count()  # every doc assigned
+    # every candidate pair ends up in the same cluster
+    pairs = minhash_lsh_pairs(docs).collect()
+    assert pairs, "fixture should contain near-duplicates"
+    for p in pairs:
+        assert clusters[p["doc_a"]][0] == clusters[p["doc_b"]][0]
+    # canonical = numeric min of the cluster; exactly one keep per cluster
+    members: dict = {}
+    for doc, (cid, keep) in clusters.items():
+        members.setdefault(cid, []).append((doc, keep))
+    for cid, docs_in in members.items():
+        assert cid == min(d for d, _ in docs_in)
+        assert [d for d, k in docs_in if k] == [cid]
