@@ -84,6 +84,65 @@ def stream_extract_triples(
     return extract_triples(stream, contexts, dedup=False)
 
 
+def windowed_turn_stats(
+    transcripts: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window incremental aggregation with late-data semantics
+    (SURVEY §2 Table B streaming row): per-(window, role) turn counts and
+    an HLL distinct-conversation sketch.
+
+    The same plan runs batch or streaming. In streaming append mode the
+    watermark is the late-data contract: a window emits exactly once, when
+    the watermark passes its end; rows arriving later than ``watermark``
+    behind max event time are dropped and surface in the query progress as
+    ``stateOperators[].numRowsDroppedByWatermark`` — and window state is
+    freed, so state size is bounded by (watermark / window) × |roles|
+    regardless of stream length. approx_count_distinct's HLL merge is
+    order-independent, so stream and batch agree exactly on finalized
+    windows (pinned by tests/test_streaming_ingest.py)."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "n_convs_approx",
+        )
+    )
+
+
+def run_windowed_stats_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "10 minutes",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Drain ``source_dir`` through the windowed aggregation into parquet
+    (append mode: only watermark-finalized windows are written)."""
+    transcripts = stream_transcript_source(spark, source_dir)
+    stats = windowed_turn_stats(transcripts, window_duration, watermark)
+    writer = (
+        stats.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     source_dir: str,

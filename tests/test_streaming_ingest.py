@@ -57,6 +57,41 @@ def test_stream_matches_batch(spark, sf_dir, stream_dirs):
     assert want.exceptAll(got).count() == 0
 
 
+def test_windowed_stats_stream_matches_batch(spark, sf_dir, stream_dirs):
+    """Watermark-finalized windows from the stream must equal the batch
+    windowed aggregation on the same rows; windows the watermark has not
+    passed are withheld (append-mode contract)."""
+    from json_ld_spark.streaming.ingest import (
+        run_windowed_stats_stream, windowed_turn_stats,
+    )
+
+    transcripts = synth_transcripts(spark, sf_dir)
+    transcripts.coalesce(1).write.mode("append").parquet(stream_dirs["source"])
+
+    q = run_windowed_stats_stream(
+        spark, stream_dirs["source"], stream_dirs["sink"], stream_dirs["ckpt"],
+        window_duration="10 minutes", watermark="1 hour", available_now=True,
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.read.parquet(stream_dirs["sink"])
+    batch_all = windowed_turn_stats(transcripts, "10 minutes", "1 hour")
+    # every emitted window matches the batch computation exactly
+    assert got.exceptAll(batch_all).count() == 0
+    # coverage: at least the strictly-closed windows were emitted
+    max_ts = transcripts.agg(F.max("ts")).collect()[0][0]
+    closed = batch_all.where(
+        F.col("window_end") < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    )
+    n_closed = closed.count()
+    assert n_closed > 0, "fixture should close windows"
+    assert got.count() >= n_closed
+    assert closed.exceptAll(got).count() == 0
+    # the open tail (watermark not passed) is withheld
+    assert got.count() < batch_all.count()
+
+
 def test_stream_replay_is_idempotent(spark, sf_dir, stream_dirs):
     transcripts = synth_transcripts(spark, sf_dir)
     transcripts.coalesce(1).write.mode("append").parquet(stream_dirs["source"])
