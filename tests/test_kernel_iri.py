@@ -68,12 +68,34 @@ def test_keyword_form():
         ("../g", "http://a/b/c/d;p?q", "http://a/b/g"),
         ("../..", "http://a/b/c/d;p?q", "http://a/"),
         ("../../g", "http://a/b/c/d;p?q", "http://a/g"),
-        # abnormal examples
+        # remaining normal examples (complete §5.4.1 grid)
+        ("g?y#s", "http://a/b/c/d;p?q", "http://a/b/c/g?y#s"),
+        ("g;x", "http://a/b/c/d;p?q", "http://a/b/c/g;x"),
+        ("g;x?y#s", "http://a/b/c/d;p?q", "http://a/b/c/g;x?y#s"),
+        ("./", "http://a/b/c/d;p?q", "http://a/b/c/"),
+        ("../", "http://a/b/c/d;p?q", "http://a/b/"),
+        ("../../", "http://a/b/c/d;p?q", "http://a/"),
+        # abnormal examples (§5.4.2, complete grid)
         ("../../../g", "http://a/b/c/d;p?q", "http://a/g"),
+        ("../../../../g", "http://a/b/c/d;p?q", "http://a/g"),
         ("/./g", "http://a/b/c/d;p?q", "http://a/g"),
         ("/../g", "http://a/b/c/d;p?q", "http://a/g"),
         ("g.", "http://a/b/c/d;p?q", "http://a/b/c/g."),
+        (".g", "http://a/b/c/d;p?q", "http://a/b/c/.g"),
+        ("g..", "http://a/b/c/d;p?q", "http://a/b/c/g.."),
         ("..g", "http://a/b/c/d;p?q", "http://a/b/c/..g"),
+        ("./../g", "http://a/b/c/d;p?q", "http://a/b/g"),
+        ("./g/.", "http://a/b/c/d;p?q", "http://a/b/c/g/"),
+        ("g/./h", "http://a/b/c/d;p?q", "http://a/b/c/g/h"),
+        ("g/../h", "http://a/b/c/d;p?q", "http://a/b/c/h"),
+        ("g;x=1/./y", "http://a/b/c/d;p?q", "http://a/b/c/g;x=1/y"),
+        ("g;x=1/../y", "http://a/b/c/d;p?q", "http://a/b/c/y"),
+        ("g?y/./x", "http://a/b/c/d;p?q", "http://a/b/c/g?y/./x"),
+        ("g?y/../x", "http://a/b/c/d;p?q", "http://a/b/c/g?y/../x"),
+        ("g#s/./x", "http://a/b/c/d;p?q", "http://a/b/c/g#s/./x"),
+        ("g#s/../x", "http://a/b/c/d;p?q", "http://a/b/c/g#s/../x"),
+        # strict parser: scheme-bearing reference wins even same-scheme
+        ("http:g", "http://a/b/c/d;p?q", "http:g"),
         ("g:h", "http://a/b/c/d;p?q", "g:h"),
         ("http://x/y", "http://a/b/", "http://x/y"),
     ],
