@@ -96,6 +96,17 @@ def _kg_triples_hotconv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard RDF export: extracted triples serialized as N-Quads lines
+    (functions/nquads.py — the toRdf step the reference stubs). Oracle:
+    replace-chain SQL over the kernel-generated golden triples."""
+    from json_ld_spark.functions.nquads import to_nquads
+
+    return to_nquads(_clean_triples(spark, sf_dir)).orderBy(
+        "conv_id", "turn_idx", "nquad"
+    )
+
+
 def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.entity import canonicalize
 
@@ -526,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/make_golden.py for the independence rationale)
         "kg_triples": _kg_triples,
         "kg_triples_hotconv": _kg_triples_hotconv,
+        "kg_nquads": _kg_nquads,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_mentions": _kg_mentions,
@@ -652,6 +664,32 @@ def oracle_sql() -> dict[str, str]:
             "obj_type, obj_lang, obj_direction, graph, error_code "
             f"FROM read_parquet('{_GOLDEN}/triples_hot.parquet') "
             f"WHERE error_code IS NULL ORDER BY {triple_order}"
+        ),
+        "kg_nquads": (
+            # mirror of functions/nquads.py: literal replace chains
+            # (backslash first), xsd:string elision, 4th term for graph
+            f"WITH t AS (SELECT * FROM {_G_TRIPLES} WHERE error_code IS NULL), "
+            "n AS (SELECT conv_id, turn_idx, "
+            "(CASE WHEN starts_with(subj, '_:') THEN subj ELSE '<' || subj || '>' END) "
+            "|| ' ' || "
+            "(CASE WHEN starts_with(pred, '_:') THEN pred ELSE '<' || pred || '>' END) "
+            "|| ' ' || "
+            "(CASE WHEN obj_kind <> 'literal' THEN "
+            "(CASE WHEN starts_with(obj_value, '_:') THEN obj_value "
+            "ELSE '<' || obj_value || '>' END) "
+            "ELSE '\"' || replace(replace(replace(replace(replace(obj_value, "
+            "'\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), "
+            "chr(9), '\\t') || '\"' || "
+            "(CASE WHEN obj_lang IS NOT NULL THEN '@' || obj_lang "
+            "WHEN obj_type IS NOT NULL AND "
+            "obj_type <> 'http://www.w3.org/2001/XMLSchema#string' "
+            "THEN '^^<' || obj_type || '>' ELSE '' END) END) "
+            "|| (CASE WHEN graph IS NOT NULL THEN ' ' || "
+            "(CASE WHEN starts_with(graph, '_:') THEN graph "
+            "ELSE '<' || graph || '>' END) ELSE '' END) || ' .' AS nquad "
+            "FROM t) "
+            "SELECT conv_id, turn_idx, nquad FROM n "
+            "ORDER BY conv_id, turn_idx, nquad"
         ),
         "kg_nodes": (
             "SELECT canon_id, iri, kind, n_aliases "

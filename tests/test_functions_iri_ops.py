@@ -148,6 +148,50 @@ def test_expand_compact_roundtrip_on_extracted_triples(spark, ctxdict, sf_dir):
     assert bad.count() == 0, bad.collect()
 
 
+def test_nquad_serialization(spark):
+    """N-Quads grammar: term brackets, ECHAR escaping (backslash first),
+    xsd:string elision, @lang, graph 4th term."""
+    from json_ld_spark.functions.nquads import to_nquads
+
+    rows = [
+        ("c", 0, "http://s/1", "http://p/1", "iri", "http://o/1",
+         None, None, None, None, None),
+        ("c", 0, "_:b0", "http://p/1", "literal", 'say "hi"\n\\done\t',
+         None, None, None, None, None),
+        ("c", 1, "http://s/1", "http://p/2", "literal", "bonjour",
+         None, "fr", None, None, None),
+        ("c", 1, "http://s/1", "http://p/3", "literal", "2024-01-01",
+         "http://www.w3.org/2001/XMLSchema#dateTime", None, None, None, None),
+        ("c", 2, "http://s/1", "http://p/4", "literal", "plain",
+         "http://www.w3.org/2001/XMLSchema#string", None, None, None, None),
+        ("c", 2, "http://s/1", "http://p/5", "bnode", "_:b1",
+         None, None, None, "http://g/1", None),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, subj string, pred string, "
+        "obj_kind string, obj_value string, obj_type string, "
+        "obj_lang string, obj_direction string, graph string, "
+        "error_code string"
+    )
+    out = {
+        (r["turn_idx"], r["nquad"])
+        for r in to_nquads(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert (0, "<http://s/1> <http://p/1> <http://o/1> .") in out
+    assert (
+        0,
+        '_:b0 <http://p/1> "say \\"hi\\"\\n\\\\done\\t" .',
+    ) in out
+    assert (1, '<http://s/1> <http://p/2> "bonjour"@fr .') in out
+    assert (
+        1,
+        '<http://s/1> <http://p/3> "2024-01-01"'
+        "^^<http://www.w3.org/2001/XMLSchema#dateTime> .",
+    ) in out
+    assert (2, '<http://s/1> <http://p/4> "plain" .') in out  # xsd:string elided
+    assert (2, "<http://s/1> <http://p/5> _:b1 <http://g/1> .") in out
+
+
 def test_prefix_suffix_split_matches_kernel(spark):
     inputs = ["a:b", "ab:cd:ef", ":x", "x:", "noco", "_:b0", "a:", ""]
     df = spark.createDataFrame([(v,) for v in inputs], "v string")
