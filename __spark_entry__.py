@@ -2,14 +2,22 @@
 
 ``entry`` runs the flagship KG-extraction query; ``queries`` exposes every
 implemented operator from SURVEY.md §2 plus the training-data operator
-suite; ``oracle_sql`` provides bit-parity DuckDB SQL for each
-SQL-expressible query (hash choices — md5, '0x'-hex casts — are picked so
-both engines agree exactly; floats are rounded in BOTH engines).
+suite; ``oracle_sql`` provides a bit-exact DuckDB oracle for EVERY query:
 
-KG-pipeline queries (kg_*) are the genuinely non-SQL-expressible custom ops
-(Arrow-batched JSON-LD kernel, iterative connected components): they have no
-oracle entry and get the driver's rows-only check; their semantics are
-covered by tests/ against the Spark-free kernel oracle instead.
+- plain SQL over the driver's pre-registered tables where expressible
+  (hash choices — md5, '0x'-hex casts — are picked so both engines agree
+  exactly; floats are rounded in BOTH engines; DuckDB integer sums are
+  cast ::BIGINT because its HUGEINT serializes differently);
+- for the genuinely non-SQL-expressible custom ops (Arrow-batched JSON-LD
+  kernel, iterative connected components, seeded ANN, fake-decode
+  multimodal), SQL over golden parquet in tests/golden/sf0.01/ generated
+  by tools/make_golden.py INDEPENDENTLY of the Spark plumbing (Spark-free
+  kernel loop, union-find CC, plain-numpy mirrors) — see that module's
+  docstring for the independence rationale per table. The driver runs
+  correctness at sf0.01, which is the scale the goldens pin.
+
+Every query output is deterministically ordered (ORDER BY mirrored on
+both sides, NULLS FIRST matching Spark's asc_nulls_first).
 """
 
 from __future__ import annotations
@@ -107,17 +115,29 @@ def _kg_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_flatten_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonLdProcessor flatten() surface (§8, kernel/flatten.py): per
+    JSON-bearing turn, the flattened-graph shape. Oracle: kernel-only
+    golden parquet (no Spark plumbing) from tools/make_golden.py."""
+    from json_ld_spark.pipeline.extract import flatten_turn_stats
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    return flatten_turn_stats(synth_transcripts(spark, sf_dir)).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
 def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.entity import canonicalize
 
-    _, nodes, _ = canonicalize(_clean_triples(spark, sf_dir))
+    _, nodes, _ = canonicalize(_clean_triples(spark, sf_dir), materialize=True)
     return nodes.orderBy("canon_id")
 
 
 def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.entity import canonicalize
 
-    _, _, edges = canonicalize(_clean_triples(spark, sf_dir))
+    _, _, edges = canonicalize(_clean_triples(spark, sf_dir), materialize=True)
     return edges.orderBy("src_canon", "pred", "dst_canon")
 
 
@@ -155,9 +175,11 @@ def _kg_hub_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kg_turn_text_hash(spark, sf_dir):
     """W1 invariant surface: per-conversation digest of turn texts under
     stable (conv_id, turn_idx) ordering. Deterministic, so any engine change
-    that perturbs turn ordering or mutates text flips the hash. rows-only
-    check (transcripts derive via xxhash64, not expressible in DuckDB);
-    exact equality vs the kernel path is pinned by
+    that perturbs turn ordering or mutates text flips the hash. Oracle:
+    ordered string_agg over the golden transcripts parquet — the join
+    separator is a raw 0x1f (unit separator) byte so turn boundaries can't
+    alias; the oracle uses chr(31). Exact equality vs the kernel path is
+    also pinned by
     tests/test_pipeline_extract.py::test_per_turn_text_equality_invariant."""
     from json_ld_spark.pipeline.transcripts import synth_transcripts
 
@@ -538,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _kg_triples,
         "kg_triples_hotconv": _kg_triples_hotconv,
         "kg_nquads": _kg_nquads,
+        "kg_flatten_stats": _kg_flatten_stats,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_mentions": _kg_mentions,
@@ -690,6 +713,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM t) "
             "SELECT conv_id, turn_idx, nquad FROM n "
             "ORDER BY conv_id, turn_idx, nquad"
+        ),
+        "kg_flatten_stats": (
+            "SELECT conv_id, turn_idx, n_docs, n_nodes, n_props, n_blank "
+            f"FROM read_parquet('{_GOLDEN}/flatten_stats.parquet') "
+            "ORDER BY conv_id, turn_idx"
         ),
         "kg_nodes": (
             "SELECT canon_id, iri, kind, n_aliases "

@@ -28,6 +28,7 @@ from .expand_doc import (
     expanded_to_triples,
 )
 from .compact import compact_document, compact_iri, compact_value
+from .flatten import flatten_document, flatten_expanded, flatten_stats
 from .profile import LoadDocumentOptions, Profile, RequestProfile
 
 __all__ = [
@@ -46,6 +47,9 @@ __all__ = [
     "compact_document",
     "compact_iri",
     "compact_value",
+    "flatten_document",
+    "flatten_expanded",
+    "flatten_stats",
     "LoadDocumentOptions",
     "Profile",
     "RequestProfile",

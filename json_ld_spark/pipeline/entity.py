@@ -140,14 +140,25 @@ def same_as_edges(entities: DataFrame, max_block: int = 64) -> DataFrame:
     )
 
 
-def canonicalize(triples: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def canonicalize(
+    triples: DataFrame, materialize: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full entity layer: returns (canon_map, nodes, edges).
 
     canon_map: (id, component)   — entity IRI → canonical id
     nodes:     (canon_id, iri, kind, n_aliases)
     edges:     (src_canon, pred, dst_canon, provenance)
+
+    ``triples`` is consumed twice (entity dictionary + canonical rewrite).
+    In the job path the input is already a materialized parquet table
+    (manifest.read_triples), so re-reading is cheap — keep the default.
+    When the input is a live extraction plan (the driver's kg_nodes /
+    kg_edges queries), pass ``materialize=True`` to localCheckpoint it
+    once instead of running the Python kernel per consumer.
     """
     clean = triples.where(F.col("error_code").isNull())
+    if materialize:
+        clean = clean.localCheckpoint()
     entities = entity_dictionary(clean).localCheckpoint()
     edges0 = same_as_edges(entities)
     canon_map = connected_components(edges0).localCheckpoint()

@@ -156,6 +156,97 @@ class TurnExpander:
         return out
 
 
+FLATTEN_STATS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("n_docs", IntegerType()),
+        StructField("n_nodes", IntegerType()),
+        StructField("n_props", IntegerType()),
+        StructField("n_blank", IntegerType()),
+    ]
+)
+
+
+def flatten_turn_stats(
+    transcripts: DataFrame, contexts: Optional[ContextDict] = None
+) -> DataFrame:
+    """Per JSON-bearing turn, the flattened-graph shape (§8 flattening
+    applied to every document in the turn): number of successfully
+    flattened docs, total top-level+named-graph nodes, non-keyword
+    properties, and distinct blank-node labels. Same Arrow-batched
+    plan shape as extract_triples (candidate filter JVM-side, 4-column
+    pruning, map-only); docs that fail to parse/expand are skipped, the
+    quarantine path being extract_triples' job."""
+    from ..kernel import expand_document, flatten_expanded, flatten_stats
+
+    contexts = contexts or ContextDict()
+    bc = transcripts.sparkSession.sparkContext.broadcast(
+        (contexts.raw, contexts.document_iri)
+    )
+    candidates = transcripts.select("conv_id", "turn_idx", "text", "tool").where(
+        F.col("tool").isNotNull() | F.col("text").contains("<jsonld>")
+    )
+
+    def stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raw_contexts, document_iri = bc.value
+        expander = TurnExpander(raw_contexts, document_iri)
+
+        def doc_stats(raw: str):
+            try:
+                doc = json.loads(raw)
+            except (json.JSONDecodeError, ValueError):
+                return None
+            try:
+                ctx_value = (
+                    doc.get("@context") if isinstance(doc, Mapping) else None
+                )
+                if ctx_value is not None:
+                    active = expander._active_context(ctx_value)
+                    body = {k: v for k, v in doc.items() if k != "@context"}
+                else:
+                    active = Context(base=document_iri)
+                    body = doc
+                flat = flatten_expanded(
+                    expand_document(expander.processor, active, body)
+                )
+            except JsonLdError:
+                return None
+            return flatten_stats(flat)
+
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
+            ):
+                raws = []
+                if isinstance(tool, str) and tool:
+                    raws.append(tool)
+                if isinstance(text, str) and "<jsonld>" in text:
+                    raws.extend(_INLINE_RE.findall(text))
+                n_docs = n_nodes = n_props = n_blank = 0
+                for raw in raws:
+                    st = doc_stats(raw)
+                    if st is None:
+                        continue
+                    n_docs += 1
+                    n_nodes += st[0]
+                    n_props += st[1]
+                    n_blank += st[2]
+                rows.append(
+                    (conv_id, int(turn_idx), n_docs, n_nodes, n_props, n_blank)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "n_docs", "n_nodes",
+                    "n_props", "n_blank",
+                ],
+            )
+
+    return candidates.mapInPandas(stats_batches, schema=FLATTEN_STATS_SCHEMA)
+
+
 class TaskMetricsParam:
     """AccumulatorParam collecting per-task (input_rows, kernel_seconds)
     tuples — the straggler-detection surface of SURVEY §5.2-6 (max task ≤

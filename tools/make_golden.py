@@ -166,6 +166,80 @@ def write_triples(transcripts: pd.DataFrame, out_dir: str, name: str) -> list[tu
     return rows
 
 
+# ------------------------------------------------------------ flatten stats
+
+def write_flatten_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
+    """Kernel-only mirror of pipeline/extract.flatten_turn_stats (no
+    caches, no Spark): per candidate turn, flattened-graph shape counts."""
+    from json_ld_spark.kernel import (
+        expand_document, flatten_expanded, flatten_stats,
+    )
+
+    cd = ContextDict()
+    processor = cd.processor
+    document_iri = cd.document_iri
+
+    def doc_stats(raw: str):
+        try:
+            doc = json.loads(raw)
+        except (json.JSONDecodeError, ValueError):
+            return None
+        try:
+            ctx_value = doc.get("@context") if isinstance(doc, Mapping) else None
+            if ctx_value is not None:
+                active = process_context(
+                    processor, Context(base=document_iri), ctx_value,
+                    document_iri,
+                )
+                body = {k: v for k, v in doc.items() if k != "@context"}
+            else:
+                active = Context(base=document_iri)
+                body = doc
+            flat = flatten_expanded(expand_document(processor, active, body))
+        except JsonLdError:
+            return None
+        return flatten_stats(flat)
+
+    rows = []
+    for conv_id, turn_idx, text, tool in zip(
+        transcripts["conv_id"], transcripts["turn_idx"],
+        transcripts["text"], transcripts["tool"],
+    ):
+        has_inline = isinstance(text, str) and "<jsonld>" in text
+        if not (tool is not None or has_inline):
+            continue
+        raws = []
+        if isinstance(tool, str) and tool:
+            raws.append(tool)
+        if has_inline:
+            raws.extend(_INLINE_RE.findall(text))
+        n_docs = n_nodes = n_props = n_blank = 0
+        for raw in raws:
+            st = doc_stats(raw)
+            if st is None:
+                continue
+            n_docs += 1
+            n_nodes += st[0]
+            n_props += st[1]
+            n_blank += st[2]
+        rows.append(
+            (conv_id, int(turn_idx), n_docs, n_nodes, n_props, n_blank)
+        )
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.string()),
+            pa.array([r[1] for r in rows], type=pa.int32()),
+            pa.array([r[2] for r in rows], type=pa.int32()),
+            pa.array([r[3] for r in rows], type=pa.int32()),
+            pa.array([r[4] for r in rows], type=pa.int32()),
+            pa.array([r[5] for r in rows], type=pa.int32()),
+        ],
+        names=["conv_id", "turn_idx", "n_docs", "n_nodes", "n_props", "n_blank"],
+    )
+    pq.write_table(table, os.path.join(out_dir, "flatten_stats.parquet"))
+    print(f"wrote flatten_stats: {len(rows)} rows")
+
+
 # ------------------------------------------------------------ error stats
 
 def write_error_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
@@ -485,6 +559,7 @@ def main() -> int:
     write_transcripts(sf_dir, out_dir)
     transcripts = pd.read_parquet(os.path.join(out_dir, "transcripts.parquet"))
     rows = write_triples(transcripts, out_dir, "triples")
+    write_flatten_stats(transcripts, out_dir)
     write_error_stats(transcripts, out_dir)
     write_nodes_edges(rows, out_dir)
     hot = pd.read_parquet(os.path.join(out_dir, "transcripts_hot.parquet"))
