@@ -29,6 +29,7 @@ from .expand_doc import (
 )
 from .compact import compact_document, compact_iri, compact_value
 from .flatten import flatten_document, flatten_expanded, flatten_stats
+from .from_rdf import triples_to_expanded
 from .profile import LoadDocumentOptions, Profile, RequestProfile
 
 __all__ = [
@@ -50,6 +51,7 @@ __all__ = [
     "flatten_document",
     "flatten_expanded",
     "flatten_stats",
+    "triples_to_expanded",
     "LoadDocumentOptions",
     "Profile",
     "RequestProfile",
