@@ -116,13 +116,28 @@ class ParquetSnapshotStore:
             raise ValueError("store has no snapshots")
         return self.spark.read.parquet(*snap["dirs"])
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, tag: Optional[str] = None) -> int:
+        """Append a snapshot; ``tag`` makes the commit idempotent: a second
+        append with an already-committed tag is a no-op returning the
+        original snapshot id. This is the exactly-once hook for streaming
+        ``foreachBatch`` sinks (tag = micro-batch id): a replayed batch
+        after a crash re-writes an orphan data dir at worst, never a second
+        snapshot — the same write-idempotence contract Iceberg gives
+        ``writeTo().append()`` under Spark's commit coordinator."""
+        snaps = self._snapshots()
+        if tag is not None:
+            for s in snaps:
+                if s.get("tag") == tag:
+                    return s["id"]
         out = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
         df.write.parquet(out)
         snaps = self._snapshots()
         prev_dirs = snaps[-1]["dirs"] if snaps else []
         new_id = (snaps[-1]["id"] + 1) if snaps else 1
-        snaps.append({"id": new_id, "dirs": prev_dirs + [out], "ts": time.time()})
+        entry = {"id": new_id, "dirs": prev_dirs + [out], "ts": time.time()}
+        if tag is not None:
+            entry["tag"] = tag
+        snaps.append(entry)
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(snaps, f)

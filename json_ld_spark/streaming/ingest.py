@@ -143,6 +143,39 @@ def run_windowed_stats_stream(
     return writer.start()
 
 
+def run_stream_to_snapshots(
+    spark: SparkSession,
+    source_dir: str,
+    store,
+    checkpoint_dir: str,
+    contexts: Optional[ContextDict] = None,
+    available_now: bool = True,
+):
+    """Streaming extraction landing ATOMIC SNAPSHOTS: each micro-batch of
+    triples commits as one SnapshotStore append (pipeline/snapshots.py),
+    so downstream batch consolidation can pin a snapshot id and the whole
+    lambda-free architecture closes: stream → snapshot commits → batch
+    canonicalization pinned to a snapshot → idempotent resume.
+
+    Exactly-once across restarts: ``foreachBatch`` can replay a batch
+    after a crash; the store's tagged append (tag = micro-batch id) makes
+    the replay a no-op, so no double-counting even when the checkpoint
+    and the sink disagree about the last committed batch."""
+    transcripts = stream_transcript_source(spark, source_dir)
+    triples = stream_extract_triples(transcripts, contexts)
+
+    def commit(batch_df, batch_id: int) -> None:
+        store.append(batch_df, tag=f"batch-{batch_id}")
+
+    writer = (
+        triples.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     source_dir: str,

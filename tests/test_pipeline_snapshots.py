@@ -63,6 +63,50 @@ def test_orphan_data_invisible_without_commit(spark, tmp_path):
     assert store.current_snapshot_id() == 1
 
 
+def test_stream_commits_snapshots_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming → snapshot-store loop: micro-batches land as atomic
+    snapshot commits; a re-drain on the same checkpoint adds nothing; a
+    direct replayed append with a committed tag is a no-op."""
+    import os
+
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.snapshots import ParquetSnapshotStore
+    from json_ld_spark.streaming.ingest import run_stream_to_snapshots
+
+    source = str(tmp_path / "src")
+    os.makedirs(source)
+    transcripts = synth_transcripts(spark, sf_dir)
+    transcripts.coalesce(1).write.mode("append").parquet(source)
+
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snapstore"))
+    q = run_stream_to_snapshots(
+        spark, source, store, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    n_snaps = store.current_snapshot_id()
+    assert n_snaps is not None and n_snaps >= 1
+    got = store.read().count()
+    want = extract_triples(transcripts, dedup=False).count()
+    assert got == want
+
+    # re-drain: committed backlog → no new snapshots, same rows
+    q2 = run_stream_to_snapshots(
+        spark, source, store, str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(300)
+    assert store.current_snapshot_id() == n_snaps
+    assert store.read().count() == want
+
+    # simulated foreachBatch replay: tagged append is a no-op
+    replay = store.append(
+        extract_triples(transcripts, dedup=False), tag="batch-0"
+    )
+    assert replay <= n_snaps
+    assert store.current_snapshot_id() == n_snaps
+
+
 def test_resume_pins_input_snapshot(spark, sf_dir, tmp_path):
     """Kill after 2 buckets, append NEW data to the store, resume: the
     resumed run must re-read the pinned snapshot, so the final triples
