@@ -32,6 +32,18 @@ def main() -> None:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument(
+        "--snapshot-store",
+        help="root of a ParquetSnapshotStore to ingest from (snapshot-"
+        "pinned resume); when absent, transcripts synthesize from "
+        "--sf-dir directly. On an Iceberg deployment swap in "
+        "IcebergSnapshotStore via the documented spark-submit conf "
+        "(json_ld_spark/pipeline/snapshots.py).",
+    )
+    ap.add_argument(
+        "--nquads-out",
+        help="also export the clean triples as N-Quads text under this dir",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,14 +59,30 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    from json_ld_spark.pipeline.job import run_full_pipeline
+    from json_ld_spark.pipeline.job import run_full_pipeline, run_snapshot_pipeline
     from json_ld_spark.pipeline.manifest import bucket_of
 
     t0 = time.perf_counter()
-    res = run_full_pipeline(
-        spark, args.sf_dir, args.warehouse, n_buckets=args.n_buckets
-    )
+    if args.snapshot_store:
+        from json_ld_spark.pipeline.entity import canonicalize
+        from json_ld_spark.pipeline.snapshots import ParquetSnapshotStore
+
+        store = ParquetSnapshotStore(spark, args.snapshot_store)
+        res = run_snapshot_pipeline(
+            spark, store, args.warehouse, n_buckets=args.n_buckets
+        )
+        _, res.nodes, res.edges = canonicalize(res.triples)
+    else:
+        res = run_full_pipeline(
+            spark, args.sf_dir, args.warehouse, n_buckets=args.n_buckets
+        )
     clean = res.triples.where(F.col("error_code").isNull())
+    if args.nquads_out:
+        from json_ld_spark.functions.nquads import to_nquads
+
+        to_nquads(res.triples).select("nquad").write.mode("overwrite").text(
+            args.nquads_out
+        )
     (
         clean.withColumn("__bucket", bucket_of(F.col("conv_id"), args.n_buckets))
         .repartition(args.n_buckets, "__bucket")
