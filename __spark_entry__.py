@@ -612,8 +612,11 @@ _TOKS_CTE = (
 
 # Golden parquet dir for the non-SQL-expressible operators (kernel-only /
 # numpy mirrors; see tools/make_golden.py for the independence rationale).
-# The driver runs correctness at sf0.01, which these goldens pin.
-_GOLDEN = "/root/repo/tests/golden/sf0.01"
+# The driver runs correctness at sf0.01, which these goldens pin. Resolved
+# relative to this file so the oracle SQL works wherever the repo lives.
+_GOLDEN = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "sf0.01"
+)
 _G_TRIPLES = f"read_parquet('{_GOLDEN}/triples.parquet')"
 _G_TRANSCRIPTS = f"read_parquet('{_GOLDEN}/transcripts.parquet')"
 
