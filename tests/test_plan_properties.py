@@ -29,6 +29,9 @@ def test_extraction_is_map_only(spark, sf_dir, entrymod):
     from json_ld_spark.pipeline.extract import extract_triples
     from json_ld_spark.pipeline.transcripts import synth_transcripts
 
+    # other tests cache the transcript plan fragment; a cache hit replaces
+    # the parquet scan with InMemoryTableScan and hides ReadSchema
+    spark.catalog.clearCache()
     plan = _plan(extract_triples(synth_transcripts(spark, sf_dir)))
     assert len(re.findall(r"\bExchange\b", plan)) == 0, plan
     assert plan.count("MapInPandas") == 1
