@@ -269,7 +269,8 @@ def _sim_topk(spark, sf_dir):
 
 def _sim_ivf_topk(spark, sf_dir):
     """IVF-quantized ANN: spherical k-means cells + n_probe search with
-    exact JVM-side re-rank. rows-only (k-means not SQL-expressible);
+    exact JVM-side re-rank. Oracle: plain-numpy golden mirror
+    (tools/make_golden.py — same deterministic sampled training);
     recall-vs-exact pinned by tests/test_operators_ivf.py."""
     from json_ld_spark.operators.similarity import ivf_topk
 
@@ -533,7 +534,8 @@ def _train_clusters(spark, sf_dir):
 
 def _mm_features(spark, sf_dir):
     """Multimodal feature extraction over the deterministic media table
-    (decode stubbed with the fake kernel; Spark plumbing real). rows-only."""
+    (decode stubbed with the fake kernel; Spark plumbing real). Oracle:
+    hashlib/numpy golden mirror (tools/make_golden.py)."""
     from json_ld_spark.operators.multimodal import extract_features, synth_media
 
     return extract_features(synth_media(spark, 200), fake=True).select(
