@@ -89,6 +89,14 @@ def _coercion_compatible(
         return td.container_contains("@list")
     if td.container_contains("@list"):
         return False
+    # container-map terms absorb the member the map key captures: a
+    # @language container matches any language-tagged (or plain) string
+    # value, an @index container any indexed value, an @id container any
+    # node reference — the map form re-adds the key on expansion
+    if td.container and td.container_contains("@language"):
+        return "@value" in value and set(value) <= {"@value", "@language"}
+    if td.container and td.container_contains("@index"):
+        return "@index" in value
     if "@id" in value and len(set(value.keys()) - {"@id", "@index"}) == 0:
         return td.ty in ("@id", "@vocab")
     ty = value.get("@type")
@@ -202,8 +210,56 @@ def _compact(ctx: Context, active_property: Optional[str], element: Any, inverse
                 ctx, key, vocab=True, inverse=inverse,
                 value=sample if isinstance(sample, Mapping) else None,
             )
+            td_p = _td(ctx, cp)
+            if (
+                td_p is not None
+                and td_p.container
+                and td_p.container & frozenset(("@language", "@index", "@id"))
+                and isinstance(value, list)
+            ):
+                mapped = _compact_container_map(ctx, cp, td_p, value, inverse)
+                if mapped is not None:
+                    result[cp] = mapped
+                    continue
             result[cp] = _compact(ctx, cp, value, inverse)
     return result
+
+
+def _compact_container_map(
+    ctx: Context, term: str, td: TermDefinition, values: list, inverse
+) -> Optional[dict]:
+    """§6.1 container-map compaction for @language / @index / @id
+    containers: the expanded array reshapes into a map keyed by language
+    tag / index / compacted id (missing key → "@none"). Returns None when
+    any item doesn't fit the map shape losslessly — the caller then falls
+    back to plain array compaction, so this is always semantics-preserving
+    (expansion of the map form reproduces the original expanded array;
+    pinned by the roundtrip tests)."""
+    out: dict[str, list] = {}
+    for item in values:
+        if not isinstance(item, Mapping):
+            return None
+        if td.container_contains("@language"):
+            if "@value" not in item or not set(item) <= {"@value", "@language"}:
+                return None
+            key = item.get("@language", "@none")
+            v: Any = item["@value"]
+        elif td.container_contains("@index"):
+            if "@value" in item and "@index" not in item:
+                return None  # would lose the no-index distinction
+            key = item.get("@index", "@none")
+            rest = {k: x for k, x in item.items() if k != "@index"}
+            v = _compact(ctx, term, rest, inverse)
+        else:  # @id container
+            if "@value" in item or "@id" not in item:
+                return None
+            key = compact_iri(ctx, item["@id"], inverse=inverse)
+            rest = {k: x for k, x in item.items() if k != "@id"}
+            if not rest:
+                return None  # bare reference: the array form is shorter
+            v = _compact(ctx, term, rest, inverse)
+        out.setdefault(key, []).append(v)
+    return {k: (vs[0] if len(vs) == 1 else vs) for k, vs in out.items()}
 
 
 def _td(ctx: Context, term: Optional[str]) -> Optional[TermDefinition]:

@@ -70,3 +70,99 @@ def test_compact_document_preserves_unknown_absolute(cd):
     doc = {"@id": "http://ex.org/p", "http://other.org/prop": "x"}
     out = _roundtrip(cd, "https://example.org/ctx/prefix", doc)
     assert out["http://other.org/prop"] == "x"
+
+
+# --------------------------------------------------- container-map forms
+
+MAP_CTX = {
+    "@context": {
+        "ex": "http://ex.org/",
+        "label": {"@id": "ex:label", "@container": "@language"},
+        "posts": {"@id": "ex:posts", "@container": "@index"},
+        "members": {"@id": "ex:members", "@container": "@id"},
+    }
+}
+
+
+@pytest.fixture(scope="module")
+def map_ctx(cd):
+    from json_ld_spark.kernel import Context, process_context
+
+    return process_context(
+        cd.processor, Context(base=cd.document_iri),
+        MAP_CTX["@context"], cd.document_iri,
+    )
+
+
+def _expand_compact_expand(cd, ctx, body):
+    """compact must be lossless: re-expanding the compacted form yields
+    the original expanded form (order-insensitive)."""
+    import json
+
+    expanded = expand_document(cd.processor, ctx, body)
+    compacted = compact_document(ctx, expanded)
+    again = expand_document(cd.processor, ctx, compacted)
+    canon = lambda e: sorted(  # noqa: E731
+        json.dumps(n, sort_keys=True) for n in e
+    )
+    assert canon(again) == canon(expanded), (compacted, expanded, again)
+    return compacted
+
+
+def test_compact_language_map(cd, map_ctx):
+    body = {
+        "@id": "http://ex.org/x",
+        "label": {"en": "Hello", "de": ["Hallo", "Servus"]},
+    }
+    out = _expand_compact_expand(cd, map_ctx, body)
+    assert out["label"] == {"en": "Hello", "de": ["Hallo", "Servus"]}
+
+
+def test_compact_index_map(cd, map_ctx):
+    body = {
+        "@id": "http://ex.org/x",
+        "posts": {"2024": "a", "2025": ["b", "c"]},
+    }
+    out = _expand_compact_expand(cd, map_ctx, body)
+    assert out["posts"] == {"2024": "a", "2025": ["b", "c"]}
+
+
+def test_compact_id_map(cd, map_ctx):
+    body = {
+        "@id": "http://ex.org/x",
+        "members": {
+            "http://ex.org/m1": {"ex:name": "A"},
+            "http://ex.org/m2": {"ex:name": "B"},
+        },
+    }
+    out = _expand_compact_expand(cd, map_ctx, body)
+    # id-map keys compact in document-relative (vocab=false) mode, where
+    # our compact_iri leaves absolute IRIs untouched — lossless, and the
+    # roundtrip above is the contract
+    assert set(out["members"].keys()) == {
+        "http://ex.org/m1", "http://ex.org/m2"
+    }
+    assert all(
+        v == {"ex:name": n}
+        for v, n in zip(
+            (out["members"]["http://ex.org/m1"],
+             out["members"]["http://ex.org/m2"]),
+            ("A", "B"),
+        )
+    )
+
+
+def test_compact_map_fallback_when_lossy(cd, map_ctx):
+    """A language-container property whose expanded values carry extra
+    members must NOT be forced into map form — fallback to array."""
+    from json_ld_spark.kernel.compact import compact_document
+
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "http://ex.org/label": [
+            {"@value": "plain"},
+            {"@value": "typed", "@type": "http://ex.org/T"},
+        ],
+    }]
+    out = compact_document(map_ctx, expanded)
+    assert isinstance(out["label"], list), out
