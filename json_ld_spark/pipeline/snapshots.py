@@ -78,12 +78,16 @@ class ParquetSnapshotStore:
 
         root/
           data/<uuid>/part-*.parquet   # immutable append payloads
-          snapshots.json               # [{id, dirs(cumulative), ts}, ...]
+          snapshots.json               # [{id, added:[dir], ts, tag?}, ...]
 
-    The ``snapshots.json`` rewrite via ``os.replace`` is the atomic commit
-    point: a crash mid-append leaves an orphan data dir that no snapshot
-    references (invisible to every reader) — the same guarantee an Iceberg
-    metadata-pointer swap gives.
+    Each snapshot entry records only the dirs it ADDED (an Iceberg-style
+    delta manifest): metadata stays O(n) over n commits instead of the
+    O(n²) a cumulative-list-per-entry format would cost a long-running
+    streaming ingest; ``read(snapshot_id)`` unions the deltas up to that
+    id. The ``snapshots.json`` rewrite via ``os.replace`` is the atomic
+    commit point: a crash mid-append leaves an orphan data dir that no
+    snapshot references (invisible to every reader) — the same guarantee
+    an Iceberg metadata-pointer swap gives.
     """
 
     def __init__(self, spark: SparkSession, root: str) -> None:
@@ -105,16 +109,16 @@ class ParquetSnapshotStore:
 
     def read(self, snapshot_id: Optional[int] = None) -> DataFrame:
         snaps = self._snapshots()
-        if snapshot_id is not None:
-            matching = [s for s in snaps if s["id"] == snapshot_id]
-            if not matching:
-                raise ValueError(f"unknown snapshot id {snapshot_id}")
-            snap = matching[0]
-        elif snaps:
-            snap = snaps[-1]
-        else:
+        if not snaps:
             raise ValueError("store has no snapshots")
-        return self.spark.read.parquet(*snap["dirs"])
+        if snapshot_id is None:
+            snapshot_id = snaps[-1]["id"]
+        elif not any(s["id"] == snapshot_id for s in snaps):
+            raise ValueError(f"unknown snapshot id {snapshot_id}")
+        dirs = [
+            d for s in snaps if s["id"] <= snapshot_id for d in s["added"]
+        ]
+        return self.spark.read.parquet(*dirs)
 
     def append(self, df: DataFrame, tag: Optional[str] = None) -> int:
         """Append a snapshot; ``tag`` makes the commit idempotent: a second
@@ -132,9 +136,8 @@ class ParquetSnapshotStore:
         out = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
         df.write.parquet(out)
         snaps = self._snapshots()
-        prev_dirs = snaps[-1]["dirs"] if snaps else []
         new_id = (snaps[-1]["id"] + 1) if snaps else 1
-        entry = {"id": new_id, "dirs": prev_dirs + [out], "ts": time.time()}
+        entry = {"id": new_id, "added": [out], "ts": time.time()}
         if tag is not None:
             entry["tag"] = tag
         snaps.append(entry)
