@@ -280,11 +280,16 @@ def _sim_ivf_topk(spark, sf_dir):
 
 
 def _sim_lsh_topk(spark, sf_dir):
+    """Multi-table (OR-amplified) sign-LSH top-k. Measured recall@5 vs the
+    exact baseline at sf0.01: 0.038 single-table → 0.182 with 4 tables —
+    the fixture's weak-cosine neighbors are LSH-hostile by construction
+    (the data-adaptive IVF route reaches 0.92 on the same data); the
+    recall ordering is pinned by tests/test_operators_ivf.py."""
     from json_ld_spark.operators.similarity import lsh_topk
 
-    return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5).orderBy(
-        "vec_id", "rank"
-    )
+    return lsh_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_planes=6, n_tables=4
+    ).orderBy("vec_id", "rank")
 
 
 def _text_tokens(spark, sf_dir):

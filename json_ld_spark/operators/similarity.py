@@ -84,45 +84,77 @@ _BUCKET_SCHEMA = StructType([
 
 
 def lsh_buckets(
-    embeddings: DataFrame, n_planes: int = 8, seed: int = 42
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Sign-random-projection bucket per vector (deterministic hyperplanes
-    from ``seed``). Arrow-batched numpy: one matmul per batch."""
+    """Sign-random-projection buckets (deterministic hyperplanes from
+    ``seed``). Arrow-batched numpy: one matmul per batch.
+
+    ``n_tables`` > 1 is OR-amplification — the standard recall fix for
+    sign-LSH: each table draws its own hyperplane set, a vector lands in
+    one bucket PER table (bucket key ``"{table}:{bits}"``), and two
+    vectors become candidates if they collide in ANY table. Recall rises
+    from (collision-prob) to 1-(1-p)^T while per-bucket candidate cost
+    stays bounded by the per-table bucket sizes. All tables' planes come
+    from ONE generator draw (shape (T·P, d), reshaped) so output is a
+    pure function of (seed, n_planes, n_tables, dim)."""
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rng = np.random.default_rng(seed)
         planes = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["embedding"].to_numpy())
-            if planes is None or planes.shape[1] != mat.shape[1]:
+            if planes is None or planes.shape[-1] != mat.shape[1]:
                 rng = np.random.default_rng(seed)  # re-seed per worker: deterministic
-                planes = rng.standard_normal((n_planes, mat.shape[1]))
-            signs = (mat @ planes.T) >= 0
-            buckets = ["".join("1" if b else "0" for b in row) for row in signs]
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": buckets})
+                planes = rng.standard_normal(
+                    (n_tables * n_planes, mat.shape[1])
+                ).reshape(n_tables, n_planes, mat.shape[1])
+            out_ids, out_buckets = [], []
+            for t in range(n_tables):
+                signs = (mat @ planes[t].T) >= 0
+                out_ids.append(pdf["vec_id"].to_numpy())
+                out_buckets.extend(
+                    f"{t}:" + "".join("1" if b else "0" for b in row)
+                    for row in signs
+                )
+            yield pd.DataFrame(
+                {"vec_id": np.concatenate(out_ids), "bucket": out_buckets}
+            )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         bucketize, schema=_BUCKET_SCHEMA
     )
 
 
-def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 1,
+) -> DataFrame:
     """Approximate top-k: exact cosine ranking within LSH buckets.
 
     Per-bucket numpy matmul via ``applyInPandas`` (same execution shape as
-    ``ivf_topk``): each vector lives in exactly one bucket, so its final
-    top-k is fully decided inside that bucket's group — rank is assigned
-    in-kernel and there is NO window exchange at all. The round-1 version
-    joined the bucket against itself and paid an interpreted Catalyst fold
-    per candidate pair plus a full window shuffle of the scored pairs.
-    Output: (vec_id, neighbor_id, rank, cosine); singleton buckets emit
-    nothing (no candidate neighbors — the LSH recall trade-off)."""
-    buckets = lsh_buckets(embeddings, n_planes)
+    ``ivf_topk``): per-bucket top-k candidates come back, never the
+    candidate cross product. The round-1 version joined the bucket against
+    itself and paid an interpreted Catalyst fold per candidate pair plus a
+    full window shuffle of the scored pairs.
+
+    With ``n_tables == 1`` a vector lives in exactly one bucket, so rank
+    is final in-kernel — NO window exchange at all. With ``n_tables > 1``
+    (OR-amplification, the recall path) each vector's per-table candidate
+    lists merge through a dedup + window over O(n·T·k) rows — still never
+    the pair blowup. Output: (vec_id, neighbor_id, rank, cosine); vectors
+    colliding with nothing in any table emit nothing (the LSH trade-off;
+    recall-vs-tables measured in tests/test_operators_ivf.py)."""
+    buckets = lsh_buckets(embeddings, n_planes, n_tables=n_tables)
     e = embeddings.join(buckets, "vec_id").select(
         "bucket", "vec_id", "embedding"
     )
+    final_in_kernel = n_tables == 1
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -155,8 +187,19 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
              "rank": pd.Series(out_r, dtype="int32"), "cosine": out_c}
         )
 
-    return e.groupBy("bucket").applyInPandas(
+    scored = e.groupBy("bucket").applyInPandas(
         score_bucket, "vec_id long, neighbor_id long, rank int, cosine double"
+    )
+    if final_in_kernel:
+        return scored
+    # multi-table merge: a pair found in several tables repeats with the
+    # same cosine — dedup, then global top-k per vector
+    merged = scored.dropDuplicates(["vec_id", "neighbor_id"])
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
     )
 
 

@@ -50,6 +50,35 @@ def test_ivf_recall_vs_exact(embeddings):
     assert recall >= 0.9, f"recall {recall:.3f}"
 
 
+def test_lsh_multi_table_improves_recall(embeddings):
+    """OR-amplification contract: recall@k grows with the number of hash
+    tables (1 - (1-p)^T), and every returned neighbor's cosine is exact.
+    The absolute recall is fixture-limited (weak-cosine neighbors are
+    LSH-hostile; the data-adaptive IVF reaches ≥0.9 on the same data) —
+    the ORDERING is the invariant worth pinning."""
+    from json_ld_spark.operators.similarity import lsh_topk
+
+    k = 5
+    exact = set(
+        map(tuple, cosine_topk(embeddings, k=k).select("vec_id", "neighbor_id").collect())
+    )
+
+    def recall(n_tables):
+        approx = set(
+            map(
+                tuple,
+                lsh_topk(embeddings, k=k, n_planes=4, n_tables=n_tables)
+                .select("vec_id", "neighbor_id")
+                .collect(),
+            )
+        )
+        return len(exact & approx) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1, (r1, r4)
+    assert r4 >= 2 * r1, (r1, r4)  # amplification, not noise
+
+
 def test_ivf_full_probe_is_exact(embeddings):
     k = 3
     sub = embeddings.where(F.col("vec_id") < 80)

@@ -396,17 +396,24 @@ def _to_matrix(list_of_vecs) -> np.ndarray:
     return X / norms
 
 
-def write_sim_lsh(emb: pd.DataFrame, out_dir: str, k: int = 5, n_planes: int = 6) -> None:
+def write_sim_lsh(
+    emb: pd.DataFrame, out_dir: str,
+    k: int = 5, n_planes: int = 6, n_tables: int = 4,
+) -> None:
+    """Mirror of lsh_buckets + lsh_topk (multi-table OR-amplified path)."""
     mat32 = np.stack([np.asarray(v, dtype=np.float32) for v in emb["embedding"]])
-    planes = np.random.default_rng(42).standard_normal((n_planes, mat32.shape[1]))
-    signs = (mat32 @ planes.T) >= 0
-    buckets = ["".join("1" if b else "0" for b in row) for row in signs]
+    planes = np.random.default_rng(42).standard_normal(
+        (n_tables * n_planes, mat32.shape[1])
+    ).reshape(n_tables, n_planes, mat32.shape[1])
     ids = emb["vec_id"].to_numpy()
 
     by_bucket: dict[str, list[int]] = defaultdict(list)
-    for i, b in enumerate(buckets):
-        by_bucket[b].append(i)
-    out = []
+    for t in range(n_tables):
+        signs = (mat32 @ planes[t].T) >= 0
+        for i, row in enumerate(signs):
+            key = f"{t}:" + "".join("1" if b else "0" for b in row)
+            by_bucket[key].append(i)
+    cand: dict[tuple[int, int], float] = {}
     for members in by_bucket.values():
         if len(members) < 2:
             continue
@@ -421,9 +428,17 @@ def write_sim_lsh(emb: pd.DataFrame, out_dir: str, k: int = 5, n_planes: int = 6
                 if mids[j] == mids[i]:
                     continue
                 rank += 1
-                out.append((int(mids[i]), int(mids[j]), rank, float(sims[i, j])))
+                cand[(int(mids[i]), int(mids[j]))] = float(sims[i, j])
                 if rank >= k:
                     break
+    per_query: dict[int, list[tuple[float, int]]] = defaultdict(list)
+    for (q, nb), cos in cand.items():
+        per_query[q].append((cos, nb))
+    out = []
+    for q in sorted(per_query):
+        ranked = sorted(per_query[q], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (cos, nb) in enumerate(ranked, start=1):
+            out.append((q, nb, rank, cos))
     out.sort(key=lambda r: (r[0], r[2]))
     pq.write_table(
         pa.Table.from_arrays(
