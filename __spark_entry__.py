@@ -258,6 +258,19 @@ def _dedup_embedding(spark, sf_dir):
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def _dedup_embedding_lsh(spark, sf_dir):
+    """Quantizer-blocked near-dup pairs (no clustering column needed):
+    multi-table sign-LSH candidate blocks + per-bucket numpy scoring.
+    Oracle: plain-numpy golden mirror; found-pairs-are-true + recall
+    bound pinned by tests/test_operators_ivf.py."""
+    from json_ld_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35, n_planes=3, n_tables=6,
+    ).orderBy("vec_a", "vec_b")
+
+
 def _sim_topk(spark, sf_dir):
     from json_ld_spark.operators.similarity import cosine_topk
 
@@ -580,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding": _dedup_embedding,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
         # similarity search
         "sim_cosine_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
@@ -785,6 +799,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT error_code, n, n_convs "
             f"FROM read_parquet('{_GOLDEN}/error_stats.parquet') "
             "ORDER BY error_code NULLS FIRST"
+        ),
+        "dedup_embedding_lsh": (
+            "SELECT vec_a, vec_b, cosine "
+            f"FROM read_parquet('{_GOLDEN}/dedup_embedding_lsh.parquet') "
+            "ORDER BY vec_a, vec_b"
         ),
         "sim_lsh_topk": (
             "SELECT vec_id, neighbor_id, rank, cosine "

@@ -261,14 +261,67 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
+def embedding_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates with LSH candidate blocks — the
+    scale path that needs NO provided clustering column: multi-table
+    sign-LSH buckets (similarity.lsh_buckets) bound the self-comparison,
+    each bucket scores with one numpy matmul inside ``applyInPandas``,
+    and cross-table duplicate pairs collapse with a dropDuplicates.
+
+    Recall: a pair at cosine ≥ t collides per table with probability
+    (1 - arccos(t)/π)^planes — at t=0.9, planes=4 that's ≈ 0.66 per
+    table, ≈ 0.99 with 4 tables; higher thresholds only improve it, so
+    the near-dup regime is exactly where sign-LSH is strong (measured vs
+    brute force in tests/test_operators_training.py sibling tests).
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
+    """
+    from .similarity import lsh_buckets
+
+    buckets = lsh_buckets(embeddings, n_planes=n_planes, n_tables=n_tables)
+    e = embeddings.join(buckets, "vec_id").select(
+        "bucket", "vec_id", "embedding"
+    )
+    import numpy as np
+    import pandas as pd
+
+    def pairs_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
+        sims = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
+        ids = pdf["vec_id"].to_numpy()
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame(
+            {"vec_a": a, "vec_b": b, "cosine": sims[ii, jj]}
+        )
+
+    return (
+        e.groupBy("bucket")
+        .applyInPandas(pairs_kernel, "vec_a long, vec_b long, cosine double")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
 
     Brute-force within ``label`` blocks (the provided clustering column) so
-    the self-join is block-bounded; at 100 TB the blocks come from a coarse
-    quantizer instead (similarity.py's LSH route).
+    the self-join is block-bounded; when no clustering column exists, use
+    :func:`embedding_neardup_pairs_lsh` (the quantizer-blocked scale path).
     """
     norm = F.sqrt(F.aggregate(
         F.col("embedding"),

@@ -79,6 +79,40 @@ def test_lsh_multi_table_improves_recall(embeddings):
     assert r4 >= 2 * r1, (r1, r4)  # amplification, not noise
 
 
+def test_embedding_neardup_lsh_precision_and_recall(embeddings):
+    """LSH-blocked near-dup pairs: every returned pair is a TRUE pair
+    (cosine ≥ threshold — exact scoring inside blocks guarantees
+    precision 1.0), and recall vs the brute-force ground truth meets the
+    analytic OR-amplification bound's ballpark."""
+    import numpy as np
+
+    from json_ld_spark.operators.dedup import embedding_neardup_pairs_lsh
+
+    threshold, n_planes, n_tables = 0.35, 3, 6
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_lsh(
+            embeddings, threshold, n_planes, n_tables
+        ).collect()
+    }
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
+    S = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
+    ii, jj = np.where(np.triu(S >= threshold, k=1))
+    truth = {
+        tuple(sorted((int(ids[i]), int(ids[j])))): S[i, j]
+        for i, j in zip(ii, jj)
+    }
+    assert truth, "fixture should contain pairs at this threshold"
+    # precision 1.0: every found pair is true with the exact cosine
+    for pair, cos in got.items():
+        assert pair in truth and abs(truth[pair] - cos) < 1e-9, pair
+    recall = len(got) / len(truth)
+    assert recall >= 0.5, recall
+
+
 def test_ivf_full_probe_is_exact(embeddings):
     k = 3
     sub = embeddings.where(F.col("vec_id") < 80)

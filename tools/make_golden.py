@@ -531,6 +531,50 @@ def write_sim_ivf(
     print(f"wrote sim_ivf: {len(out)} rows")
 
 
+def write_dedup_embedding_lsh(
+    emb: pd.DataFrame, out_dir: str,
+    threshold: float = 0.35, n_planes: int = 3, n_tables: int = 6,
+) -> None:
+    """Mirror of dedup.embedding_neardup_pairs_lsh (LSH blocks + per-bucket
+    numpy scoring + cross-table pair dedup)."""
+    mat32 = np.stack([np.asarray(v, dtype=np.float32) for v in emb["embedding"]])
+    planes = np.random.default_rng(42).standard_normal(
+        (n_tables * n_planes, mat32.shape[1])
+    ).reshape(n_tables, n_planes, mat32.shape[1])
+    ids = emb["vec_id"].to_numpy()
+    by_bucket: dict[str, list[int]] = defaultdict(list)
+    for t in range(n_tables):
+        signs = (mat32 @ planes[t].T) >= 0
+        for i, row in enumerate(signs):
+            key = f"{t}:" + "".join("1" if b else "0" for b in row)
+            by_bucket[key].append(i)
+    pairs: dict[tuple[int, int], float] = {}
+    for members in by_bucket.values():
+        if len(members) < 2:
+            continue
+        M = np.array([list(emb["embedding"].iloc[i]) for i in members], dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
+        sims = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
+        mids = ids[members]
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        for i, j in zip(ii, jj):
+            a, b = sorted((int(mids[i]), int(mids[j])))
+            pairs[(a, b)] = float(sims[i, j])
+    out = sorted((a, b, c) for (a, b), c in pairs.items())
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in out], type=pa.int64()),
+                pa.array([r[1] for r in out], type=pa.int64()),
+                pa.array([r[2] for r in out], type=pa.float64()),
+            ],
+            names=["vec_a", "vec_b", "cosine"],
+        ),
+        os.path.join(out_dir, "dedup_embedding_lsh.parquet"),
+    )
+    print(f"wrote dedup_embedding_lsh: {len(out)} rows")
+
+
 # ------------------------------------------------------------ mm features
 
 def write_mm_features(out_dir: str, n: int = 200) -> None:
@@ -583,6 +627,7 @@ def main() -> int:
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     write_sim_lsh(emb, out_dir)
     write_sim_ivf(emb, out_dir)
+    write_dedup_embedding_lsh(emb, out_dir)
     write_mm_features(out_dir)
     print(f"golden dir: {out_dir}")
     return 0
