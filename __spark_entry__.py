@@ -141,6 +141,25 @@ def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.orderBy("src_canon", "pred", "dst_canon")
 
 
+def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics beyond CC: 10 rounds of integer
+    fixed-point PageRank over the canonical edge graph (operators/graph.py
+    — join+groupBy per round, localCheckpoint lineage cuts). Integer
+    arithmetic makes the result partitioning-independent, so the oracle
+    (pure-python mirror over the golden edges, tools/make_golden.py) is
+    bit-exact despite 10 iterations."""
+    from json_ld_spark.operators.graph import pagerank_fixed_point
+    from json_ld_spark.pipeline.entity import canonicalize
+
+    _, _, edges = canonicalize(_clean_triples(spark, sf_dir), materialize=True)
+    pr = pagerank_fixed_point(
+        edges.select(
+            F.col("src_canon").alias("src"), F.col("dst_canon").alias("dst")
+        )
+    )
+    return pr.orderBy(F.desc("rank"), "node").limit(20)
+
+
 def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.entity import (
         detect_mentions, entity_dictionary, link_mentions,
@@ -583,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_flatten_stats": _kg_flatten_stats,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
+        "kg_pagerank": _kg_pagerank,
         "kg_mentions": _kg_mentions,
         "kg_hub_entities": _kg_hub_entities,
         "kg_turn_text_hash": _kg_turn_text_hash,
@@ -751,6 +771,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT src_canon, pred, dst_canon, provenance "
             f"FROM read_parquet('{_GOLDEN}/edges.parquet') "
             "ORDER BY src_canon, pred, dst_canon"
+        ),
+        "kg_pagerank": (
+            "SELECT node, rank "
+            f"FROM read_parquet('{_GOLDEN}/pagerank.parquet') "
+            "ORDER BY rank DESC, node LIMIT 20"
         ),
         "kg_mentions": (
             "WITH m0 AS (SELECT conv_id, turn_idx, "

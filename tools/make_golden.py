@@ -388,6 +388,50 @@ def write_nodes_edges(triple_rows: list[tuple], out_dir: str) -> None:
     print(f"wrote nodes: {len(node_rows)} rows, edges: {len(edge_rows)} rows")
 
 
+# -------------------------------------------------------------- pagerank
+
+def write_pagerank(out_dir: str, n_iters: int = 10) -> None:
+    """Pure-python mirror of operators/graph.pagerank_fixed_point over the
+    golden canonical edges (integer fixed-point → bit-exact)."""
+    TOTAL, DN, DD = 10**12, 85, 100
+    et = pq.read_table(os.path.join(out_dir, "edges.parquet"))
+    pairs = sorted(
+        {
+            (s, d)
+            for s, d in zip(
+                et.column("src_canon").to_pylist(),
+                et.column("dst_canon").to_pylist(),
+            )
+            if s != d
+        }
+    )
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    n = len(nodes)
+    deg: dict[str, int] = defaultdict(int)
+    for s, _ in pairs:
+        deg[s] += 1
+    init = TOTAL // n
+    base = (TOTAL * (DD - DN)) // (DD * n)
+    rank = {v: init for v in nodes}
+    for _ in range(n_iters):
+        inflow: dict[str, int] = defaultdict(int)
+        for s, d in pairs:
+            inflow[d] += (rank[s] * DN) // (DD * deg[s])
+        rank = {v: base + inflow.get(v, 0) for v in nodes}
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in top], type=pa.string()),
+                pa.array([r[1] for r in top], type=pa.int64()),
+            ],
+            names=["node", "rank"],
+        ),
+        os.path.join(out_dir, "pagerank.parquet"),
+    )
+    print(f"wrote pagerank: {len(top)} rows (graph: {n} nodes, {len(pairs)} edges)")
+
+
 # ------------------------------------------------------------ ANN mirrors
 
 def _to_matrix(list_of_vecs) -> np.ndarray:
@@ -621,6 +665,7 @@ def main() -> int:
     write_flatten_stats(transcripts, out_dir)
     write_error_stats(transcripts, out_dir)
     write_nodes_edges(rows, out_dir)
+    write_pagerank(out_dir)
     hot = pd.read_parquet(os.path.join(out_dir, "transcripts_hot.parquet"))
     write_triples(hot, out_dir, "triples_hot")
 
