@@ -94,7 +94,11 @@ def _coercion_compatible(
     # value, an @index container any indexed value, an @id container any
     # node reference — the map form re-adds the key on expansion
     if td.container and td.container_contains("@language"):
-        return "@value" in value and set(value) <= {"@value", "@language"}
+        return (
+            "@value" in value
+            and set(value) <= {"@value", "@language"}
+            and isinstance(value["@value"], str)
+        )
     if td.container and td.container_contains("@index"):
         return "@index" in value
     if "@id" in value and len(set(value.keys()) - {"@id", "@index"}) == 0:
@@ -240,7 +244,13 @@ def _compact_container_map(
         if not isinstance(item, Mapping):
             return None
         if td.container_contains("@language"):
-            if "@value" not in item or not set(item) <= {"@value", "@language"}:
+            # language-map values must be strings (a non-string would fail
+            # re-expansion: 'invalid language map value') — fall back
+            if (
+                "@value" not in item
+                or not set(item) <= {"@value", "@language"}
+                or not isinstance(item["@value"], str)
+            ):
                 return None
             key = item.get("@language", "@none")
             v: Any = item["@value"]

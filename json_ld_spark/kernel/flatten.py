@@ -62,8 +62,12 @@ def _generate_node_map(
         graph.get(active_subject) if active_subject is not None else None
     )
 
-    # step 3 — relabel blank-node @type values
-    if "@type" in element:
+    # step 3 — relabel blank-node @type values. Node objects carry @type
+    # as a LIST of IRIs; value objects carry it as a STRING datatype
+    # (expand_doc._expand_value) which must pass through untouched — a
+    # bare list comprehension here would iterate the string char-wise and
+    # corrupt typed literals (regression-pinned in test_kernel_flatten).
+    if "@type" in element and "@value" not in element:
         element = dict(element)
         element["@type"] = [
             _relabel_if_blank(t, bnodes) for t in element["@type"]

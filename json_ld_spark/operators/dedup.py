@@ -144,12 +144,11 @@ def ngram_jaccard_pairs(
     shingle space entirely — index, intersection counts AND set sizes, so
     jaccard stays a true Jaccard over the filtered space. Without it, one
     boilerplate shingle shared by 10^6 docs emits 10^12 index-join rows.
-    The stop set is computed with one map-side-combined aggregation (tiny
-    output: only the stop shingles themselves) and removed via a broadcast
-    anti-join inside each consumer — no extra shuffle on the big table, in
-    keeping with this operator's deliberate 3-scan formulation (see the
-    CollapseProject pitfall note below). The DuckDB oracle applies the
-    identical filter.
+    The filter is a count window over the same shingle key the
+    intersection join shuffles on, so its exchange is the join's exchange
+    (a separate groupBy-stop-set + broadcast anti-join formulation
+    measured 2× slower at sf0.1 — see the inline note). The DuckDB oracle
+    applies the identical filter.
     """
     # n-gram shingles via concat of sliding windows (JVM-side); per-doc
     # token cap bounds the inverted index for pathological documents.
@@ -280,7 +279,7 @@ def embedding_neardup_pairs_lsh(
     brute force in tests/test_operators_training.py sibling tests).
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
     """
-    from .similarity import lsh_buckets
+    from .similarity import _f64_matrix, _rounded_cosine, lsh_buckets
 
     buckets = lsh_buckets(embeddings, n_planes=n_planes, n_tables=n_tables)
     e = embeddings.join(buckets, "vec_id").select(
@@ -296,9 +295,8 @@ def embedding_neardup_pairs_lsh(
                  "vec_b": pd.Series(dtype="int64"),
                  "cosine": pd.Series(dtype="float64")}
             )
-        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
-        sims = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
+        M = _f64_matrix(pdf["embedding"])
+        sims = _rounded_cosine(M, M)
         ids = pdf["vec_id"].to_numpy()
         ii, jj = np.where(np.triu(sims >= threshold, k=1))
         a = np.minimum(ids[ii], ids[jj])
@@ -307,10 +305,16 @@ def embedding_neardup_pairs_lsh(
             {"vec_a": a, "vec_b": b, "cosine": sims[ii, jj]}
         )
 
+    # cross-table duplicate pairs: the same pair scored in two different
+    # bucket matrices can differ in the rounded 6th decimal (BLAS
+    # accumulation order varies with matrix shape), so dropDuplicates
+    # would keep a partitioning-dependent survivor — aggregate max()
+    # instead: deterministic, and the max is the better estimate
     return (
         e.groupBy("bucket")
         .applyInPandas(pairs_kernel, "vec_a long, vec_b long, cosine double")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine").alias("cosine"))
     )
 
 

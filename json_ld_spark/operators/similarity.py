@@ -37,6 +37,22 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def _f64_matrix(series) -> np.ndarray:
+    """Arrow embedding column → float64 matrix (shared by every per-group
+    scoring kernel so numeric behavior stays in lockstep)."""
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+def _rounded_cosine(Q: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Cosine block rounded to the 6-dp output grain BEFORE any ordering —
+    the single definition of pairwise scoring for lsh_topk / ivf_topk /
+    embedding_neardup_pairs_lsh (and their golden mirrors): rounding first
+    keeps results batch-shape-independent (BLAS accumulation ulps)."""
+    qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
+    bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
+    return np.round((Q @ B.T) / np.outer(qn, bn), 6)
+
+
 def cosine_topk(
     embeddings: DataFrame, k: int = 5, queries: DataFrame | None = None
 ) -> DataFrame:
@@ -164,9 +180,8 @@ def lsh_topk(
                  "rank": pd.Series(dtype="int32"),
                  "cosine": pd.Series(dtype="float64")}
             )
-        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
-        sims = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
+        M = _f64_matrix(pdf["embedding"])
+        sims = _rounded_cosine(M, M)
         ids = pdf["vec_id"].to_numpy()
         out_q, out_n, out_r, out_c = [], [], [], []
         for i in range(len(ids)):
@@ -192,9 +207,13 @@ def lsh_topk(
     )
     if final_in_kernel:
         return scored
-    # multi-table merge: a pair found in several tables repeats with the
-    # same cosine — dedup, then global top-k per vector
-    merged = scored.dropDuplicates(["vec_id", "neighbor_id"])
+    # multi-table merge: a pair found in several tables repeats — its
+    # rounded cosine can differ in the last decimal across bucket-matrix
+    # shapes (BLAS accumulation order), so pick max() deterministically
+    # rather than dropDuplicates' partitioning-dependent survivor
+    merged = scored.groupBy("vec_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         merged.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -354,11 +373,9 @@ def ivf_topk(
                  "neighbor_id": pd.Series(dtype="int64"),
                  "cosine": pd.Series(dtype="float64")}
             )
-        B = np.array(b["embedding"].tolist(), dtype=np.float64)
-        Q = np.array(q["embedding"].tolist(), dtype=np.float64)
-        bn = np.maximum(np.linalg.norm(B, axis=1), 1e-12)
-        qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
-        sims = np.round((Q @ B.T) / np.outer(qn, bn), 6)
+        B = _f64_matrix(b["embedding"])
+        Q = _f64_matrix(q["embedding"])
+        sims = _rounded_cosine(Q, B)
         b_ids = b["vec_id"].to_numpy()
         q_ids = q["vec_id"].to_numpy()
         out_q, out_n, out_c = [], [], []

@@ -145,16 +145,24 @@ def neardup_clusters(
     representative — the row a dedup pipeline retains.
 
     CC runs on zero-padded string ids so pipeline/cc.py's lexicographic
-    min IS the numeric min. The oracle recomputes the closure with a
+    min IS the numeric min — 19 digits covers the full non-negative int64
+    range, and non-negativity is checked upfront (for a negative id the
+    '-' prefix would invert the lexicographic order and elect the wrong
+    canonical doc silently). The oracle recomputes the closure with a
     DuckDB recursive CTE (independent algorithm — label propagation vs
     large/small-star), so a green row cross-checks the distributed CC.
     """
     from ..pipeline.cc import connected_components
 
+    if docs.where(F.col("doc_id") < 0).limit(1).count() > 0:
+        raise ValueError(
+            "neardup_clusters requires non-negative doc_ids (zero-padded "
+            "lexicographic ordering would misorder negatives)"
+        )
     pairs = minhash_lsh_pairs(docs, n_hashes, n_bands, max_bucket)
     edges = pairs.select(
-        F.format_string("%012d", F.col("doc_a")).alias("src"),
-        F.format_string("%012d", F.col("doc_b")).alias("dst"),
+        F.format_string("%019d", F.col("doc_a")).alias("src"),
+        F.format_string("%019d", F.col("doc_b")).alias("dst"),
     )
     comp = connected_components(edges).select(
         F.col("id").cast("long").alias("doc_id"),

@@ -65,6 +65,27 @@ _INLINE_RE = re.compile(r"<jsonld>(.*?)</jsonld>", re.DOTALL)
 
 _TRIPLE_COLS = [f.name for f in TRIPLE_SCHEMA.fields]
 
+# The JVM-side candidate predicate and the Python-side document discovery
+# below are THE definition of "which turns carry documents, and which
+# documents" — shared by extraction and flatten stats so they can never
+# silently diverge. (A function, not a module-level Column: F.col() needs
+# an active SparkContext, and this module imports at pytest collection.)
+
+
+def _candidate_filter():
+    return F.col("tool").isNotNull() | F.col("text").contains("<jsonld>")
+
+
+def iter_turn_documents(text, tool) -> list[str]:
+    """Raw JSON-LD document strings carried by one turn: the tool payload
+    (if any) followed by every inline ``<jsonld>…</jsonld>`` block."""
+    raws: list[str] = []
+    if isinstance(tool, str) and tool:
+        raws.append(tool)
+    if isinstance(text, str) and "<jsonld>" in text:
+        raws.extend(_INLINE_RE.findall(text))
+    return raws
+
 
 class TurnExpander:
     """Per-worker expansion kernel with context-compile and document memo
@@ -146,13 +167,9 @@ class TurnExpander:
     def expand_turn(self, conv_id: str, turn_idx: int, text, tool) -> list[tuple]:
         """All triples (or quarantine rows) for one turn."""
         out: list[tuple] = []
-        if isinstance(tool, str) and tool:
-            for part in self._expand_doc(tool):
+        for raw in iter_turn_documents(text, tool):
+            for part in self._expand_doc(raw):
                 out.append((conv_id, turn_idx) + part)
-        if isinstance(text, str) and "<jsonld>" in text:
-            for raw in _INLINE_RE.findall(text):
-                for part in self._expand_doc(raw):
-                    out.append((conv_id, turn_idx) + part)
         return out
 
 
@@ -184,9 +201,9 @@ def flatten_turn_stats(
     bc = transcripts.sparkSession.sparkContext.broadcast(
         (contexts.raw, contexts.document_iri)
     )
-    candidates = transcripts.select("conv_id", "turn_idx", "text", "tool").where(
-        F.col("tool").isNotNull() | F.col("text").contains("<jsonld>")
-    )
+    candidates = transcripts.select(
+        "conv_id", "turn_idx", "text", "tool"
+    ).where(_candidate_filter())
 
     def stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raw_contexts, document_iri = bc.value
@@ -219,13 +236,8 @@ def flatten_turn_stats(
             for conv_id, turn_idx, text, tool in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
             ):
-                raws = []
-                if isinstance(tool, str) and tool:
-                    raws.append(tool)
-                if isinstance(text, str) and "<jsonld>" in text:
-                    raws.extend(_INLINE_RE.findall(text))
                 n_docs = n_nodes = n_props = n_blank = 0
-                for raw in raws:
+                for raw in iter_turn_documents(text, tool):
                     st = doc_stats(raw)
                     if st is None:
                         continue
@@ -297,9 +309,9 @@ def extract_triples(
         (contexts.raw, contexts.document_iri)
     )
 
-    candidates = transcripts.select("conv_id", "turn_idx", "text", "tool").where(
-        F.col("tool").isNotNull() | F.col("text").contains("<jsonld>")
-    )
+    candidates = transcripts.select(
+        "conv_id", "turn_idx", "text", "tool"
+    ).where(_candidate_filter())
     if dedup_turns:
         candidates = candidates.dropDuplicates(["conv_id", "turn_idx"])
 

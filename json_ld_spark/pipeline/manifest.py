@@ -110,8 +110,22 @@ class ParquetManifest:
         """Commit the manifest row for a bucket whose data is already on
         disk (the single-pass ``partitionBy("bucket")`` job path). The read
         below is partition-pruned to the one bucket directory; the manifest
-        row write is the atomic commit point."""
+        row write is the atomic commit point.
+
+        A pending bucket that emitted ZERO rows gets no partition directory
+        from the dynamic-partition write (e.g. its conversations carry no
+        JSON-bearing turns, or the hash simply assigned it no
+        conversations) — that is still a completed unit of work and MUST
+        commit, otherwise the warehouse would re-crash on the missing path
+        at every resume (regression-pinned in test_pipeline_resume)."""
         out_dir = os.path.join(self.triples_dir, f"bucket={bucket}")
+        if not os.path.isdir(out_dir):
+            return self._write_manifest_row(
+                run_id, bucket,
+                {"input_rows": input_rows, "triples_out": 0, "errors": 0,
+                 "checksum": "0"},
+                snapshot_id,
+            )
         written = self.spark.read.parquet(out_dir)
         triples_out = written.where(F.col("error_code").isNull()).count()
         errors = written.where(F.col("error_code").isNotNull()).count()
@@ -127,15 +141,23 @@ class ParquetManifest:
             .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")))
             .collect()[0][0]
         )
+        return self._write_manifest_row(
+            run_id, bucket,
+            {"input_rows": input_rows, "triples_out": triples_out,
+             "errors": errors, "checksum": str(checksum)},
+            snapshot_id,
+        )
+
+    def _write_manifest_row(
+        self, run_id: str, bucket: int, metrics: dict,
+        snapshot_id: Optional[str],
+    ) -> dict:
         row = {
             "run_id": run_id,
             "partition_id": bucket,
-            "input_rows": input_rows,
-            "triples_out": triples_out,
-            "errors": errors,
-            "checksum": str(checksum),
             "snapshot_id": None if snapshot_id is None else str(snapshot_id),
             "ts": time.time(),
+            **metrics,
         }
         tmp = os.path.join(self.manifest_dir, f"_tmp_bucket_{bucket}")
         final = os.path.join(self.manifest_dir, f"bucket_{bucket}.parquet")

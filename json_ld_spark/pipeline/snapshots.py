@@ -66,8 +66,28 @@ class IcebergSnapshotStore:
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(self.table)
 
-    def append(self, df: DataFrame) -> Optional[int]:
-        df.writeTo(self.table).append()  # atomic snapshot commit
+    def append(
+        self, df: DataFrame, tag: Optional[str] = None
+    ) -> Optional[int]:
+        """Atomic snapshot commit. ``tag`` implements the same idempotent
+        replay contract as ParquetSnapshotStore.append (the streaming
+        foreachBatch exactly-once hook): the tag is recorded as a snapshot
+        summary property via the write's commit metadata, and an append
+        whose tag already exists in the snapshots metadata table is a
+        no-op returning the original snapshot id."""
+        if tag is not None:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {self.table}.snapshots "
+                f"WHERE summary['commit-tag'] = '{tag}' LIMIT 1"
+            ).collect()
+            if rows:
+                return rows[0]["snapshot_id"]
+            writer = df.writeTo(self.table).option(
+                "snapshot-property.commit-tag", tag
+            )
+        else:
+            writer = df.writeTo(self.table)
+        writer.append()  # atomic snapshot commit
         return self.current_snapshot_id()
 
 

@@ -166,3 +166,21 @@ def test_compact_map_fallback_when_lossy(cd, map_ctx):
     }]
     out = compact_document(map_ctx, expanded)
     assert isinstance(out["label"], list), out
+
+
+def test_compact_language_map_rejects_non_string(cd, map_ctx):
+    """Regression: a non-string @value can't live in a language map (it
+    would fail re-expansion: 'invalid language map value') — must fall
+    back to array compaction, roundtrip intact."""
+    from json_ld_spark.kernel.compact import compact_document
+
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "http://ex.org/label": [{"@value": 42}],
+    }]
+    out = compact_document(map_ctx, expanded)
+    assert not isinstance(out.get("label"), dict), out
+    from json_ld_spark.kernel import expand_document
+
+    again = expand_document(cd.processor, map_ctx, out)
+    assert again[0]["http://ex.org/label"] == [{"@value": 42}]

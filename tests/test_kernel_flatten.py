@@ -85,6 +85,29 @@ def test_flatten_preserves_triples(cd, ctx):
     assert sorted(map(key, via_flat)) == sorted(map(key, direct))
 
 
+def test_flatten_preserves_typed_literal_datatype(cd, ctx):
+    """Regression: a value object's @type is a STRING datatype (unlike a
+    node object's @type list) and must pass through flattening untouched —
+    the node-map relabel step once iterated it char-wise."""
+    expanded = [{
+        "@id": "http://ex.org/a",
+        "http://ex.org/p": [
+            {"@value": "5",
+             "@type": "http://www.w3.org/2001/XMLSchema#integer"}
+        ],
+    }]
+    flat = flatten_expanded(expanded)
+    v = flat[0]["http://ex.org/p"][0]
+    assert v == {
+        "@value": "5",
+        "@type": "http://www.w3.org/2001/XMLSchema#integer",
+    }
+    key = lambda t: tuple((k, repr(x)) for k, x in sorted(t.items()))  # noqa: E731
+    assert sorted(map(key, expanded_to_triples(flat))) == sorted(
+        map(key, expanded_to_triples(expanded))
+    )
+
+
 def test_flatten_idempotent(cd, ctx):
     expanded = expand_document(cd.processor, ctx, DOC)
     once = flatten_expanded(expanded)

@@ -70,6 +70,21 @@ def test_pack_chunks_stream_invariants(spark, docs):
         assert rows[-1]["tok_offset"] + rows[-1]["n_tokens"] == total
 
 
+def test_neardup_clusters_rejects_negative_ids(spark):
+    """Regression: zero-padded lexicographic ordering misorders negative
+    ids — the operator must refuse them upfront, not mis-canonicalize."""
+    import pytest
+
+    from json_ld_spark.operators.training import neardup_clusters
+
+    bad = spark.createDataFrame(
+        [(-1, "same text here"), (2, "same text here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        neardup_clusters(bad)
+
+
 def test_neardup_clusters_consistency(spark, docs):
     from json_ld_spark.operators.dedup import minhash_lsh_pairs
     from json_ld_spark.operators.training import neardup_clusters

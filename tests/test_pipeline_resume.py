@@ -50,6 +50,29 @@ def test_resume_idempotent(spark, sf_dir, tmp_path):
     assert _sorted_triples(noop.triples) == golden
 
 
+def test_empty_buckets_commit_and_resume(spark, sf_dir, tmp_path):
+    """Regression: a pending bucket that emits zero rows gets no partition
+    directory from the dynamic-partition write — it must still commit its
+    manifest row (with zero metrics) or every resume re-crashes on the
+    missing path."""
+    one_conv = synth_transcripts(spark, sf_dir).where(
+        F.col("conv_id") == "conv-00000000"
+    )
+    w = str(tmp_path / "w_empty")
+    res = run_extraction_job(spark, one_conv, w, n_buckets=4)
+    assert res.buckets_processed == 4
+    m = ParquetManifest(spark, w, 4)
+    assert m.pending_buckets() == []
+    rows = {r.partition_id: r for r in m.read_manifest().collect()}
+    assert len(rows) == 4
+    empties = [r for r in rows.values() if r.input_rows == 0]
+    assert empties, "fixture conv should leave some buckets empty"
+    assert all(r.triples_out == 0 and r.errors == 0 for r in empties)
+    # a re-run is a clean no-op
+    noop = run_extraction_job(spark, one_conv, w, n_buckets=4)
+    assert noop.buckets_processed == 0
+
+
 def test_manifest_metrics(spark, sf_dir, tmp_path):
     transcripts = synth_transcripts(spark, sf_dir)
     res = run_extraction_job(spark, transcripts, str(tmp_path / "w_m"), 4)

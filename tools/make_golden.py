@@ -472,7 +472,9 @@ def write_sim_lsh(
                 if mids[j] == mids[i]:
                     continue
                 rank += 1
-                cand[(int(mids[i]), int(mids[j]))] = float(sims[i, j])
+                key = (int(mids[i]), int(mids[j]))
+                # max over tables (mirror of the deterministic merge)
+                cand[key] = max(cand.get(key, float("-inf")), float(sims[i, j]))
                 if rank >= k:
                     break
     per_query: dict[int, list[tuple[float, int]]] = defaultdict(list)
@@ -603,7 +605,10 @@ def write_dedup_embedding_lsh(
         ii, jj = np.where(np.triu(sims >= threshold, k=1))
         for i, j in zip(ii, jj):
             a, b = sorted((int(mids[i]), int(mids[j])))
-            pairs[(a, b)] = float(sims[i, j])
+            # max over tables (mirror of the deterministic merge)
+            pairs[(a, b)] = max(
+                pairs.get((a, b), float("-inf")), float(sims[i, j])
+            )
     out = sorted((a, b, c) for (a, b), c in pairs.items())
     pq.write_table(
         pa.Table.from_arrays(
