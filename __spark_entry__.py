@@ -525,6 +525,13 @@ def _kg_error_stats(spark, sf_dir):
             bucket == 1,
             F.lit('{"@context": 42, "@id": "http://ex.org/x", "p": 1}'),
         )  # invalid local context -> spec error code
+        .when(
+            bucket == 2,
+            F.lit(
+                '{"@context": {"@version": 9.1}, '
+                '"@id": "http://ex.org/x", "p": 1}'
+            ),
+        )  # bad @version -> 'invalid @version value' (ctx_def.rs:84-106)
         .otherwise(F.col("tool")),
     )
     triples = extract_triples(corrupted)

@@ -255,6 +255,11 @@ def write_error_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
             return "{" + tool
         if bucket == 1:
             return '{"@context": 42, "@id": "http://ex.org/x", "p": 1}'
+        if bucket == 2:
+            return (
+                '{"@context": {"@version": 9.1}, '
+                '"@id": "http://ex.org/x", "p": 1}'
+            )
         return tool
 
     corrupted["tool"] = [
