@@ -160,6 +160,31 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.desc("rank"), "node").limit(20)
 
 
+def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the canonical graph — and the suite's full-outer
+    join coverage point (source-only and sink-only nodes must both
+    survive with zero-filled counterparts). Oracle: plain SQL over the
+    golden edges."""
+    from json_ld_spark.pipeline.entity import canonicalize
+
+    _, _, edges = canonicalize(_clean_triples(spark, sf_dir), materialize=True)
+    out_d = edges.groupBy(F.col("src_canon").alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst_canon").alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .orderBy("node")
+    )
+
+
 def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.entity import (
         detect_mentions, entity_dictionary, link_mentions,
@@ -610,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_pagerank": _kg_pagerank,
+        "kg_degree_stats": _kg_degree_stats,
         "kg_mentions": _kg_mentions,
         "kg_hub_entities": _kg_hub_entities,
         "kg_turn_text_hash": _kg_turn_text_hash,
@@ -783,6 +809,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, rank "
             f"FROM read_parquet('{_GOLDEN}/pagerank.parquet') "
             "ORDER BY rank DESC, node LIMIT 20"
+        ),
+        "kg_degree_stats": (
+            f"WITH o AS (SELECT src_canon AS node, count(*) AS out_degree "
+            f"FROM read_parquet('{_GOLDEN}/edges.parquet') GROUP BY 1), "
+            f"i AS (SELECT dst_canon AS node, count(*) AS in_degree "
+            f"FROM read_parquet('{_GOLDEN}/edges.parquet') GROUP BY 1) "
+            "SELECT coalesce(o.node, i.node) AS node, "
+            "coalesce(out_degree, 0)::BIGINT AS out_degree, "
+            "coalesce(in_degree, 0)::BIGINT AS in_degree "
+            "FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node"
         ),
         "kg_mentions": (
             "WITH m0 AS (SELECT conv_id, turn_idx, "
