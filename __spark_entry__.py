@@ -221,7 +221,7 @@ def _kg_turn_text_hash(spark, sf_dir):
     stable (conv_id, turn_idx) ordering. Deterministic, so any engine change
     that perturbs turn ordering or mutates text flips the hash. Oracle:
     ordered string_agg over the golden transcripts parquet — the join
-    separator is a raw 0x1f (unit separator) byte so turn boundaries can't
+    separator is the 0x1f unit separator so turn boundaries can't
     alias; the oracle uses chr(31). Exact equality vs the kernel path is
     also pinned by
     tests/test_pipeline_extract.py::test_per_turn_text_equality_invariant."""
@@ -233,7 +233,7 @@ def _kg_turn_text_hash(spark, sf_dir):
     return (
         tr.groupBy("conv_id")
         .agg(
-            F.md5(F.concat_ws("", texts)).alias("turn_text_hash"),
+            F.md5(F.concat_ws("\x1f", texts)).alias("turn_text_hash"),
             F.count("*").alias("n_turns"),
         )
         .orderBy("conv_id")

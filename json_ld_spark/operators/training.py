@@ -154,15 +154,26 @@ def neardup_clusters(
     """
     from ..pipeline.cc import connected_components
 
-    if docs.where(F.col("doc_id") < 0).limit(1).count() > 0:
-        raise ValueError(
-            "neardup_clusters requires non-negative doc_ids (zero-padded "
-            "lexicographic ordering would misorder negatives)"
-        )
     pairs = minhash_lsh_pairs(docs, n_hashes, n_bands, max_bucket)
+
+    # in-plan guard (zero extra scans — an upfront where().count() would
+    # pay a full table pass per call): only ids that reach PAIRS can break
+    # the lexicographic ordering; negative singletons are harmless
+    # (cluster_id = own id regardless of sign)
+    def _padded(col: str) -> F.Column:
+        return F.when(
+            F.col(col) < 0,
+            F.raise_error(
+                F.lit(
+                    "neardup_clusters requires non-negative doc_ids "
+                    "(zero-padded lexicographic ordering would misorder "
+                    "negatives)"
+                )
+            ),
+        ).otherwise(F.format_string("%019d", F.col(col)))
+
     edges = pairs.select(
-        F.format_string("%019d", F.col("doc_a")).alias("src"),
-        F.format_string("%019d", F.col("doc_b")).alias("dst"),
+        _padded("doc_a").alias("src"), _padded("doc_b").alias("dst")
     )
     comp = connected_components(edges).select(
         F.col("id").cast("long").alias("doc_id"),

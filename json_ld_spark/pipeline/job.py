@@ -72,7 +72,13 @@ def run_extraction_job(
     manifest = ParquetManifest(spark, warehouse, n_buckets)
     pending = manifest.pending_buckets()
     if not pending:
-        return JobResult(run_id, 0, manifest.read_triples())
+        # no-op resume: extraction is complete, but the derived node/edge
+        # tables must still be (re)computed when requested — returning
+        # nodes=None here would crash re-runs of the production entrypoint
+        result = JobResult(run_id, 0, manifest.read_triples())
+        if with_entity_layer:
+            _, result.nodes, result.edges = canonicalize(result.triples)
+        return result
 
     bucketed = transcripts.withColumn(
         "bucket", bucket_of(F.col("conv_id"), n_buckets)

@@ -85,21 +85,6 @@ class ParquetManifest:
         )
         return rows[0]["snapshot_id"] if rows else None
 
-    def commit_bucket(
-        self,
-        run_id: str,
-        bucket: int,
-        triples: DataFrame,
-        input_rows: int,
-        snapshot_id: Optional[str] = None,
-    ) -> dict:
-        """Write one bucket's triples + its manifest row. The triples write
-        lands in a bucket-named directory (idempotent overwrite); the
-        manifest row is the commit point, written last."""
-        out_dir = os.path.join(self.triples_dir, f"bucket={bucket}")
-        triples.write.mode("overwrite").parquet(out_dir)
-        return self.commit_written_bucket(run_id, bucket, input_rows, snapshot_id)
-
     def commit_written_bucket(
         self,
         run_id: str,
@@ -138,7 +123,14 @@ class ParquetManifest:
                     256,
                 ).alias("h")
             )
-            .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")))
+            # coalesce: a written-but-all-quarantine bucket sums over zero
+            # rows → null; normalize to 0 like the no-directory empty path
+            .agg(
+                F.coalesce(
+                    F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")),
+                    F.lit(0),
+                )
+            )
             .collect()[0][0]
         )
         return self._write_manifest_row(

@@ -72,17 +72,19 @@ def test_pack_chunks_stream_invariants(spark, docs):
 
 def test_neardup_clusters_rejects_negative_ids(spark):
     """Regression: zero-padded lexicographic ordering misorders negative
-    ids — the operator must refuse them upfront, not mis-canonicalize."""
+    ids — the in-plan guard must refuse any negative id that reaches the
+    pair graph, not mis-canonicalize silently (the guard is lazy: zero
+    extra scans; it fires during the clustering job itself)."""
     import pytest
 
     from json_ld_spark.operators.training import neardup_clusters
 
     bad = spark.createDataFrame(
-        [(-1, "same text here"), (2, "same text here")],
+        [(-1, "same text here twice over"), (2, "same text here twice over")],
         "doc_id long, text string",
     )
-    with pytest.raises(ValueError, match="non-negative"):
-        neardup_clusters(bad)
+    with pytest.raises(Exception, match="non-negative"):
+        neardup_clusters(bad).collect()
 
 
 def test_neardup_clusters_consistency(spark, docs):

@@ -59,6 +59,13 @@ from json_ld_spark.kernel import (
 
 _INLINE_RE = re.compile(r"<jsonld>(.*?)</jsonld>", re.DOTALL)
 
+
+def _tool_is_null(tool) -> bool:
+    """Mirror of Spark's isNotNull on the tool column: pandas may surface
+    a null string cell as None OR float NaN depending on the read path —
+    both must count as null or the candidate filter drifts from Spark."""
+    return tool is None or (isinstance(tool, float) and pd.isna(tool))
+
 TRIPLE_COLS = [
     "conv_id", "turn_idx", "subj", "pred", "obj_kind", "obj_value",
     "obj_type", "obj_lang", "obj_direction", "graph", "error_code",
@@ -135,8 +142,8 @@ def extract_rows(transcripts: pd.DataFrame) -> list[tuple]:
     ):
         has_tool = isinstance(tool, str) and bool(tool)
         has_inline = isinstance(text, str) and "<jsonld>" in text
-        if not (tool is not None or has_inline):
-            continue  # candidate filter parity
+        if _tool_is_null(tool) and not has_inline:
+            continue  # candidate filter parity (NaN counts as null)
         turn_rows: list[tuple] = []
         if has_tool:
             for part in _expand_doc(tool, processor, document_iri):
@@ -206,7 +213,7 @@ def write_flatten_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
         transcripts["text"], transcripts["tool"],
     ):
         has_inline = isinstance(text, str) and "<jsonld>" in text
-        if not (tool is not None or has_inline):
+        if _tool_is_null(tool) and not has_inline:
             continue
         raws = []
         if isinstance(tool, str) and tool:
@@ -246,7 +253,7 @@ def write_error_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
     corrupted = transcripts.copy()
 
     def corrupt(conv_id, turn_idx, tool):
-        if tool is None or (isinstance(tool, float) and pd.isna(tool)):
+        if _tool_is_null(tool):
             return tool
         bucket = int(
             hashlib.md5(f"{conv_id}:{turn_idx}".encode()).hexdigest()[:4], 16
