@@ -89,11 +89,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "cpus": cpus,
-        "rows": counts,
         "triples_per_sec": round(kg_n / kg_t, 1) if kg_t > 0 else None,
     }
-    print(json.dumps(out))
+    # The driver records only the last ~2KB of stdout; keep the contract
+    # line compact (row counts live in the side file, not the stdout JSON)
+    # and make it the final thing printed.
+    full = dict(out, rows=counts)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
     spark.stop()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -265,12 +265,25 @@ def embedding_neardup_pairs_lsh(
     threshold: float = 0.9,
     n_planes: int = 4,
     n_tables: int = 4,
+    max_bucket: int | None = 4096,
+    max_shards: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates with LSH candidate blocks — the
     scale path that needs NO provided clustering column: multi-table
     sign-LSH buckets (similarity.lsh_buckets) bound the self-comparison,
     each bucket scores with one numpy matmul inside ``applyInPandas``,
-    and cross-table duplicate pairs collapse with a dropDuplicates.
+    and cross-table duplicate pairs collapse deterministically.
+
+    **Bucket-size bound** (``max_bucket``, default on): over-cap buckets
+    are split into ≤cap shards and scored as (base-shard × query-shard)
+    group pairs (similarity._symmetric_group_rows) — every in-bucket pair
+    is still emitted, per-task input is hard-bounded at 2·cap rows
+    (asserted in-kernel), the pair SET is identical to the unsharded run
+    (cross-group duplicates collapse in the same max() merge that already
+    handles cross-table repeats). Buckets past cap·max_shards are dropped
+    — at that size the bucket is a boilerplate cluster whose O(k²)
+    pairwise expansion is infeasible under any schedule (the
+    minhash_lsh_pairs(max_bucket) judgment).
 
     Recall: a pair at cosine ≥ t collides per table with probability
     (1 - arccos(t)/π)^planes — at t=0.9, planes=4 that's ≈ 0.66 per
@@ -279,42 +292,88 @@ def embedding_neardup_pairs_lsh(
     brute force in tests/test_operators_training.py sibling tests).
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
     """
-    from .similarity import _f64_matrix, _rounded_cosine, lsh_buckets
+    from .similarity import (
+        _f64_matrix,
+        _rounded_cosine,
+        _shard_assign,
+        _symmetric_group_rows,
+        lsh_buckets,
+    )
 
     buckets = lsh_buckets(embeddings, n_planes=n_planes, n_tables=n_tables)
-    e = embeddings.join(buckets, "vec_id").select(
-        "bucket", "vec_id", "embedding"
-    )
     import numpy as np
     import pandas as pd
 
-    def pairs_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"),
-                 "vec_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
-        M = _f64_matrix(pdf["embedding"])
-        sims = _rounded_cosine(M, M)
-        ids = pdf["vec_id"].to_numpy()
-        ii, jj = np.where(np.triu(sims >= threshold, k=1))
-        a = np.minimum(ids[ii], ids[jj])
-        b = np.maximum(ids[ii], ids[jj])
+    def _empty() -> pd.DataFrame:
         return pd.DataFrame(
-            {"vec_a": a, "vec_b": b, "cosine": sims[ii, jj]}
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
         )
 
-    # cross-table duplicate pairs: the same pair scored in two different
-    # bucket matrices can differ in the rounded 6th decimal (BLAS
-    # accumulation order varies with matrix shape), so dropDuplicates
-    # would keep a partitioning-dependent survivor — aggregate max()
-    # instead: deterministic, and the max is the better estimate
-    return (
-        e.groupBy("bucket")
-        .applyInPandas(pairs_kernel, "vec_a long, vec_b long, cosine double")
-        .groupBy("vec_a", "vec_b")
-        .agg(F.max("cosine").alias("cosine"))
+    if max_bucket is None:
+        e = embeddings.join(buckets, "vec_id").select(
+            "bucket", "vec_id", "embedding"
+        )
+
+        def pairs_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return _empty()
+            M = _f64_matrix(pdf["embedding"])
+            sims = _rounded_cosine(M, M)
+            ids = pdf["vec_id"].to_numpy()
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            return pd.DataFrame(
+                {"vec_a": np.minimum(ids[ii], ids[jj]),
+                 "vec_b": np.maximum(ids[ii], ids[jj]),
+                 "cosine": sims[ii, jj]}
+            )
+
+        scored = e.groupBy("bucket").applyInPandas(
+            pairs_kernel, "vec_a long, vec_b long, cosine double"
+        )
+    else:
+        rows = _symmetric_group_rows(
+            _shard_assign(buckets, "bucket", max_bucket), max_shards
+        )
+        e = rows.join(embeddings.select("vec_id", "embedding"), "vec_id").select(
+            "bucket", "gb", "gq", "side", "vec_id", "embedding"
+        )
+
+        def pairs_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = pdf[pdf["side"] != "q"]
+            q = pdf[pdf["side"] != "b"]
+            if len(b) > max_bucket or len(q) > max_bucket:
+                raise RuntimeError(
+                    f"LSH shard over cap: {len(b)}b/{len(q)}q > {max_bucket}"
+                )
+            if not len(b) or not len(q):
+                return _empty()
+            sims = _rounded_cosine(
+                _f64_matrix(q["embedding"]), _f64_matrix(b["embedding"])
+            )
+            q_ids = q["vec_id"].to_numpy()
+            b_ids = b["vec_id"].to_numpy()
+            ii, jj = np.where(sims >= threshold)
+            keep = q_ids[ii] != b_ids[jj]
+            ii, jj = ii[keep], jj[keep]
+            return pd.DataFrame(
+                {"vec_a": np.minimum(q_ids[ii], b_ids[jj]),
+                 "vec_b": np.maximum(q_ids[ii], b_ids[jj]),
+                 "cosine": sims[ii, jj]}
+            )
+
+        scored = e.groupBy("bucket", "gb", "gq").applyInPandas(
+            pairs_kernel, "vec_a long, vec_b long, cosine double"
+        )
+    # cross-table (and cross-shard-group) duplicate pairs: the same pair
+    # scored in two different matrices can differ in the rounded 6th
+    # decimal (BLAS accumulation order varies with matrix shape), so
+    # dropDuplicates would keep a partitioning-dependent survivor —
+    # aggregate max() instead: deterministic, and the max is the better
+    # estimate
+    return scored.groupBy("vec_a", "vec_b").agg(
+        F.max("cosine").alias("cosine")
     )
 
 

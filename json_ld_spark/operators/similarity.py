@@ -95,7 +95,7 @@ def cosine_topk(
 
 _BUCKET_SCHEMA = StructType([
     StructField("vec_id", LongType()),
-    StructField("bucket", StringType()),
+    StructField("bucket", LongType()),
 ])
 
 
@@ -119,6 +119,7 @@ def lsh_buckets(
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
+        weights = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -128,20 +129,98 @@ def lsh_buckets(
                 planes = rng.standard_normal(
                     (n_tables * n_planes, mat.shape[1])
                 ).reshape(n_tables, n_planes, mat.shape[1])
+                # bit weights for the vectorized bits→int64 pack (packbits
+                # pads to bytes; a dot against powers of two handles any
+                # n_planes ≤ 62 in one vectorized op, no per-row Python)
+                weights = (1 << np.arange(n_planes, dtype=np.int64))
             out_ids, out_buckets = [], []
             for t in range(n_tables):
-                signs = (mat @ planes[t].T) >= 0
+                # round to the 6-dp output grain BEFORE thresholding: BLAS
+                # accumulation order varies with batch shape, so a near-zero
+                # projection could flip sign between Spark's per-batch
+                # matrices and the golden mirror's full-matrix compute
+                signs = np.round(mat @ planes[t].T, 6) >= 0
+                codes = signs.astype(np.int64) @ weights
                 out_ids.append(pdf["vec_id"].to_numpy())
-                out_buckets.extend(
-                    f"{t}:" + "".join("1" if b else "0" for b in row)
-                    for row in signs
-                )
+                # numeric bucket id: table in the high bits, sign code low —
+                # injective, shuffle-friendly (8-byte key vs a bit string)
+                out_buckets.append((t << n_planes) | codes)
             yield pd.DataFrame(
-                {"vec_id": np.concatenate(out_ids), "bucket": out_buckets}
+                {
+                    "vec_id": np.concatenate(out_ids),
+                    "bucket": np.concatenate(out_buckets),
+                }
             )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         bucketize, schema=_BUCKET_SCHEMA
+    )
+
+
+def _shard_assign(assign: DataFrame, key: str, cap: int) -> DataFrame:
+    """Split each ``key`` group into contiguous shards of ≤ ``cap`` members.
+
+    Input rows are compact (ids + key, never embeddings), so the one window
+    shuffle here moves ~16 bytes/row. ``shard`` = row_number-by-``vec_id``
+    div cap (a HARD bound, unlike hash salting), ``nsh`` = shard count of
+    the group. Deterministic: pure function of the (vec_id, key) set.
+    """
+    w = Window.partitionBy(key).orderBy("vec_id")
+    cw = Window.partitionBy(key)
+    return assign.select(
+        "*",
+        F.floor((F.row_number().over(w) - 1) / cap).cast("int").alias("shard"),
+        F.ceil(F.count(F.lit(1)).over(cw) / cap).cast("int").alias("nsh"),
+    )
+
+
+def _symmetric_group_rows(sharded: DataFrame, max_shards: int) -> DataFrame:
+    """Replicate sharded symmetric (self-join) groups into bounded work units.
+
+    Each row of an ``nsh``-shard group becomes: one base row in every
+    (gb=own_shard, gq=*) group and one query row in every (gb=*, gq=own_shard)
+    group — so group (gb, gq) scores shard-gb bases against shard-gq queries:
+    ≤ cap rows per side, all in-bucket pairs still covered, the O(k²) work of
+    a hot bucket spread over nsh² tasks instead of one. Replication factor is
+    2·nsh−1 ≈ 2·size/cap — the inherent O(k²/cap) parallel cost, surfaced as
+    shuffle instead of hidden in one straggler task. Groups with
+    nsh > max_shards (size > cap·max_shards) are boilerplate-degenerate
+    clusters where O(k²) is infeasible under ANY schedule — dropped, the
+    same judgment ``minhash_lsh_pairs(max_bucket)`` applies (dedup.py).
+    """
+    # ONE explode over a constructed struct array — not a union of a base
+    # and a query branch, which would re-derive the whole bucketize lineage
+    # once per branch (measured ~2× slower at sf0.1)
+    kept = sharded.where(F.col("nsh") <= max_shards)
+    seq = F.sequence(F.lit(0), F.col("nsh") - 1)
+    base_structs = F.transform(
+        seq,
+        lambda o: F.struct(
+            F.col("shard").cast("int").alias("gb"),
+            o.cast("int").alias("gq"),
+            F.when(o == F.col("shard"), F.lit("bq"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+        ),
+    )
+    q_structs = F.filter(
+        F.transform(
+            seq,
+            lambda o: F.struct(
+                o.cast("int").alias("gb"),
+                F.col("shard").cast("int").alias("gq"),
+                F.lit("q").alias("side"),
+            ),
+        ),
+        lambda st: st["gb"] != st["gq"],
+    )
+    return (
+        kept.select(
+            "vec_id",
+            "bucket",
+            F.explode(F.concat(base_structs, q_structs)).alias("g"),
+        )
+        .select("vec_id", "bucket", "g.gb", "g.gq", "g.side")
     )
 
 
@@ -150,49 +229,59 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 6,
     n_tables: int = 1,
+    max_bucket: int | None = 4096,
+    max_shards: int = 64,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking within LSH buckets.
 
     Per-bucket numpy matmul via ``applyInPandas`` (same execution shape as
     ``ivf_topk``): per-bucket top-k candidates come back, never the
-    candidate cross product. The round-1 version joined the bucket against
-    itself and paid an interpreted Catalyst fold per candidate pair plus a
-    full window shuffle of the scored pairs.
+    candidate cross product.
 
-    With ``n_tables == 1`` a vector lives in exactly one bucket, so rank
-    is final in-kernel — NO window exchange at all. With ``n_tables > 1``
-    (OR-amplification, the recall path) each vector's per-table candidate
-    lists merge through a dedup + window over O(n·T·k) rows — still never
+    **Bucket-size bound** (``max_bucket``, default on): sign-LSH with a
+    fixed plane count gives 2^planes buckets regardless of corpus size, so
+    one degenerate bucket (non-centered embeddings make all-signs-equal
+    common) can hold a huge fraction of 10^9 vectors and land on ONE task.
+    Over-cap buckets are split into contiguous ≤cap shards and scored as
+    (base-shard × query-shard) group pairs (``_symmetric_group_rows``):
+    every in-bucket pair is still scored, per-task input is hard-bounded at
+    2·cap rows (asserted in-kernel), and the result is IDENTICAL to the
+    unsharded computation — a candidate in the bucket-level top-k is in its
+    shard-level top-k (rank_shard ≤ rank_bucket), and an extra shard-level
+    candidate is outranked by ≥k pool members, so the final window emits
+    the same rows. Only buckets past cap·max_shards (boilerplate-degenerate
+    clusters where O(k²) is infeasible under any schedule) are dropped.
+
+    With ``max_bucket=None`` (explicitly unsafe at scale) and
+    ``n_tables == 1``, a vector lives in exactly one bucket and rank is
+    final in-kernel — no window exchange at all. The bounded path always
+    merges through groupBy-max + window over O(n·T·k) compact rows — never
     the pair blowup. Output: (vec_id, neighbor_id, rank, cosine); vectors
-    colliding with nothing in any table emit nothing (the LSH trade-off;
+    colliding with nothing emit nothing (the LSH trade-off;
     recall-vs-tables measured in tests/test_operators_ivf.py)."""
     buckets = lsh_buckets(embeddings, n_planes, n_tables=n_tables)
-    e = embeddings.join(buckets, "vec_id").select(
-        "bucket", "vec_id", "embedding"
-    )
-    final_in_kernel = n_tables == 1
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "rank": pd.Series(dtype="int32"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
-        M = _f64_matrix(pdf["embedding"])
-        sims = _rounded_cosine(M, M)
-        ids = pdf["vec_id"].to_numpy()
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "rank": pd.Series(dtype="int32"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+
+    def _topk_rows(
+        q_ids: np.ndarray, b_ids: np.ndarray, sims: np.ndarray
+    ) -> pd.DataFrame:
         out_q, out_n, out_r, out_c = [], [], [], []
-        for i in range(len(ids)):
-            order = np.lexsort((ids, -sims[i]))
+        for i in range(len(q_ids)):
+            order = np.lexsort((b_ids, -sims[i]))
             rank = 0
             for j in order:
-                if ids[j] == ids[i]:
+                if b_ids[j] == q_ids[i]:
                     continue
                 rank += 1
-                out_q.append(ids[i])
-                out_n.append(ids[j])
+                out_q.append(q_ids[i])
+                out_n.append(b_ids[j])
                 out_r.append(rank)
                 out_c.append(sims[i, j])
                 if rank >= k:
@@ -202,15 +291,53 @@ def lsh_topk(
              "rank": pd.Series(out_r, dtype="int32"), "cosine": out_c}
         )
 
-    scored = e.groupBy("bucket").applyInPandas(
-        score_bucket, "vec_id long, neighbor_id long, rank int, cosine double"
-    )
-    if final_in_kernel:
-        return scored
-    # multi-table merge: a pair found in several tables repeats — its
-    # rounded cosine can differ in the last decimal across bucket-matrix
-    # shapes (BLAS accumulation order), so pick max() deterministically
-    # rather than dropDuplicates' partitioning-dependent survivor
+    schema = "vec_id long, neighbor_id long, rank int, cosine double"
+    if max_bucket is None:
+        e = embeddings.join(buckets, "vec_id").select(
+            "bucket", "vec_id", "embedding"
+        )
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return _empty()
+            M = _f64_matrix(pdf["embedding"])
+            ids = pdf["vec_id"].to_numpy()
+            return _topk_rows(ids, ids, _rounded_cosine(M, M))
+
+        scored = e.groupBy("bucket").applyInPandas(score_bucket, schema)
+        if n_tables == 1:
+            return scored
+    else:
+        rows = _symmetric_group_rows(
+            _shard_assign(buckets, "bucket", max_bucket), max_shards
+        )
+        e = rows.join(embeddings.select("vec_id", "embedding"), "vec_id").select(
+            "bucket", "gb", "gq", "side", "vec_id", "embedding"
+        )
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = pdf[pdf["side"] != "q"]
+            q = pdf[pdf["side"] != "b"]
+            if len(b) > max_bucket or len(q) > max_bucket:
+                raise RuntimeError(
+                    f"LSH shard over cap: {len(b)}b/{len(q)}q > {max_bucket}"
+                )
+            if not len(b) or not len(q):
+                return _empty()
+            sims = _rounded_cosine(
+                _f64_matrix(q["embedding"]), _f64_matrix(b["embedding"])
+            )
+            return _topk_rows(
+                q["vec_id"].to_numpy(), b["vec_id"].to_numpy(), sims
+            )
+
+        scored = e.groupBy("bucket", "gb", "gq").applyInPandas(
+            score_group, schema
+        )
+    # merge: a pair found in several tables (or shard-group pairs) repeats —
+    # its rounded cosine can differ in the last decimal across matrix shapes
+    # (BLAS accumulation order), so pick max() deterministically rather than
+    # dropDuplicates' partitioning-dependent survivor
     merged = scored.groupBy("vec_id", "neighbor_id").agg(
         F.max("cosine").alias("cosine")
     )
@@ -322,6 +449,8 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     centroids: np.ndarray | None = None,
+    cell_cap: int | None = 4096,
+    max_shards: int = 64,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF: coarse-quantize to cells,
     probe ``n_probe`` cells per query, exact JVM-side re-rank inside the
@@ -342,9 +471,23 @@ def ivf_topk(
     top-k rows (k per query per cell) come back — the shuffle is O(n·probe)
     input rows and O(n·probe·k) output rows, never the candidate cross
     product. A base vector lives in exactly one (rank-0) cell, so no
-    cross-cell duplicate pairs exist. Giant cells bound the matmul block; at
-    scale rebalance the quantizer (more cells) rather than capping, since a
-    cell is a recall unit.
+    cross-cell duplicate pairs exist.
+
+    **Cell-size bound** (``cell_cap``, default on): a skewed quantizer can
+    put a huge fraction of the corpus into one cell, whose O(q·k) matmul
+    would otherwise land on ONE task. Over-cap cells are split into
+    contiguous ≤cap shards on BOTH sides — the (base-shard × query-shard)
+    group grid covers the identical candidate set, so per-task input is
+    hard-bounded at 2·cap rows (asserted in-kernel) while the result is
+    unchanged: per-shard top-k ⊇ the cell-level top-k and the final window
+    re-ranks the union. Replication factor (nbsh per query row, nqsh per
+    base row) is the inherent O(q·k/cap) parallel cost of the giant cell,
+    surfaced as shuffle instead of hidden in one straggler. The better
+    long-term answer remains a rebalanced quantizer (more cells) — a cell
+    is a recall unit — but the bound means a skewed quantizer degrades to
+    extra parallel work, not a job-killer. Base shards past ``max_shards``
+    (cells past cap·max_shards members) are truncated by vec_id order —
+    the documented honesty cap for adversarial quantizer collapse.
     """
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, n_cells)
@@ -355,18 +498,78 @@ def ivf_topk(
     query_cells = cells.select("vec_id", "cell")
 
     e = embeddings.select("vec_id", "embedding")
-    tagged = (
-        e.join(base_cells, "vec_id")
-        .select("cell", F.lit("b").alias("side"), "vec_id", "embedding")
-        .unionByName(
-            e.join(query_cells, "vec_id")
-            .select("cell", F.lit("q").alias("side"), "vec_id", "embedding")
+    if cell_cap is None:
+        tagged = (
+            e.join(base_cells, "vec_id")
+            .select(
+                "cell",
+                F.lit(0).alias("gb"),
+                F.lit(0).alias("gq"),
+                F.lit("b").alias("side"),
+                "vec_id",
+                "embedding",
+            )
+            .unionByName(
+                e.join(query_cells, "vec_id")
+                .select(
+                    "cell",
+                    F.lit(0).alias("gb"),
+                    F.lit(0).alias("gq"),
+                    F.lit("q").alias("side"),
+                    "vec_id",
+                    "embedding",
+                )
+            )
         )
-    )
+    else:
+        # per-cell shard counts are tiny tables (≤ n_cells rows): broadcast
+        # them so replication needs no big-side shuffle beyond the compact
+        # window in _shard_assign
+        bsh = _shard_assign(base_cells, "cell", cell_cap)
+        qsh = _shard_assign(query_cells, "cell", cell_cap)
+        qcnt = query_cells.groupBy("cell").agg(
+            F.ceil(F.count(F.lit(1)) / cell_cap).cast("int").alias("nqsh")
+        )
+        bcnt = base_cells.groupBy("cell").agg(
+            F.least(
+                F.ceil(F.count(F.lit(1)) / cell_cap).cast("int"),
+                F.lit(max_shards),
+            ).alias("nbsh")
+        )
+        base_rows = (
+            bsh.where(F.col("shard") < max_shards)
+            .join(F.broadcast(qcnt), "cell")  # cells with no queries: no work
+            .select(
+                "cell",
+                "vec_id",
+                F.col("shard").alias("gb"),
+                F.explode(F.sequence(F.lit(0), F.col("nqsh") - 1)).alias("gq"),
+                F.lit("b").alias("side"),
+            )
+        )
+        query_rows = (
+            qsh.join(F.broadcast(bcnt), "cell")  # cells with no base: no cands
+            .select(
+                "cell",
+                "vec_id",
+                F.explode(F.sequence(F.lit(0), F.col("nbsh") - 1)).alias("gb"),
+                F.col("shard").alias("gq"),
+                F.lit("q").alias("side"),
+            )
+        )
+        tagged = (
+            base_rows.unionByName(query_rows)
+            .join(e, "vec_id")
+            .select("cell", "gb", "gq", "side", "vec_id", "embedding")
+        )
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         b = pdf[pdf["side"] == "b"]
         q = pdf[pdf["side"] == "q"]
+        if cell_cap is not None and (len(b) > cell_cap or len(q) > cell_cap):
+            raise RuntimeError(
+                f"IVF shard over cap: {len(b)}b/{len(q)}q > {cell_cap}"
+            )
         if not len(b) or not len(q):
             return pd.DataFrame(
                 {"vec_id": pd.Series(dtype="int64"),
@@ -396,7 +599,7 @@ def ivf_topk(
             {"vec_id": out_q, "neighbor_id": out_n, "cosine": out_c}
         )
 
-    scored = tagged.groupBy("cell").applyInPandas(
+    scored = tagged.groupBy("cell", "gb", "gq").applyInPandas(
         score_cell, "vec_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -463,12 +463,22 @@ def write_sim_lsh(
     ).reshape(n_tables, n_planes, mat32.shape[1])
     ids = emb["vec_id"].to_numpy()
 
-    by_bucket: dict[str, list[int]] = defaultdict(list)
+    by_bucket: dict[tuple, list[int]] = defaultdict(list)
     for t in range(n_tables):
-        signs = (mat32 @ planes[t].T) >= 0
-        for i, row in enumerate(signs):
-            key = f"{t}:" + "".join("1" if b else "0" for b in row)
-            by_bucket[key].append(i)
+        # mirror of lsh_buckets: round projections to the 6-dp grain
+        # BEFORE thresholding (BLAS accumulation order varies with batch
+        # shape; unrounded near-zero projections could flip sign between
+        # Spark's per-batch matrices and this full-matrix mirror). Bucket
+        # keys are (table, sign-code) ints like the kernel's numeric ids —
+        # any injective key gives the identical partition. Size-capped
+        # shard-splitting (max_bucket) needs no mirror: the sharded grid
+        # scores the identical in-bucket candidate set, so results match
+        # the unsharded computation by construction (similarity.lsh_topk
+        # docstring; pinned by tests/test_operators_bounds.py).
+        signs = np.round(mat32 @ planes[t].T, 6) >= 0
+        codes = signs.astype(np.int64) @ (1 << np.arange(signs.shape[1], dtype=np.int64))
+        for i, code in enumerate(codes):
+            by_bucket[(t, int(code))].append(i)
     cand: dict[tuple[int, int], float] = {}
     for members in by_bucket.values():
         if len(members) < 2:
@@ -600,12 +610,22 @@ def write_dedup_embedding_lsh(
         (n_tables * n_planes, mat32.shape[1])
     ).reshape(n_tables, n_planes, mat32.shape[1])
     ids = emb["vec_id"].to_numpy()
-    by_bucket: dict[str, list[int]] = defaultdict(list)
+    by_bucket: dict[tuple, list[int]] = defaultdict(list)
     for t in range(n_tables):
-        signs = (mat32 @ planes[t].T) >= 0
-        for i, row in enumerate(signs):
-            key = f"{t}:" + "".join("1" if b else "0" for b in row)
-            by_bucket[key].append(i)
+        # mirror of lsh_buckets: round projections to the 6-dp grain
+        # BEFORE thresholding (BLAS accumulation order varies with batch
+        # shape; unrounded near-zero projections could flip sign between
+        # Spark's per-batch matrices and this full-matrix mirror). Bucket
+        # keys are (table, sign-code) ints like the kernel's numeric ids —
+        # any injective key gives the identical partition. Size-capped
+        # shard-splitting (max_bucket) needs no mirror: the sharded grid
+        # scores the identical in-bucket candidate set, so results match
+        # the unsharded computation by construction (similarity.lsh_topk
+        # docstring; pinned by tests/test_operators_bounds.py).
+        signs = np.round(mat32 @ planes[t].T, 6) >= 0
+        codes = signs.astype(np.int64) @ (1 << np.arange(signs.shape[1], dtype=np.int64))
+        for i, code in enumerate(codes):
+            by_bucket[(t, int(code))].append(i)
     pairs: dict[tuple[int, int], float] = {}
     for members in by_bucket.values():
         if len(members) < 2:
