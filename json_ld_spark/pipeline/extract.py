@@ -313,7 +313,33 @@ def extract_triples(
         "conv_id", "turn_idx", "text", "tool"
     ).where(_candidate_filter())
     if dedup_turns:
-        candidates = candidates.dropDuplicates(["conv_id", "turn_idx"])
+        # deterministic survivor: dropDuplicates keeps whichever replayed
+        # row a partitioning happens to deliver first — if an upstream
+        # retry re-appended a *different* payload for the same (conv_id,
+        # turn_idx), the emitted triples would vary across runs, breaking
+        # the byte-identical resume/checksum guarantee. max_by on the
+        # payload hash costs the same single shuffle (same groupBy key)
+        # and always keeps the lexicographically-max payload; byte-equal
+        # replays tie harmlessly.
+        # length-prefixed + 0x1f-separated: unambiguous even if a payload
+        # contains the separator byte, so distinct (text, tool) pairs
+        # cannot hash-tie by framing
+        payload_hash = F.sha2(
+            F.concat_ws(
+                "",
+                F.length(F.coalesce(F.col("text"), F.lit(""))).cast("string"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.coalesce(F.col("tool"), F.lit("")),
+            ),
+            256,
+        )
+        candidates = (
+            candidates.groupBy("conv_id", "turn_idx")
+            .agg(
+                F.max_by(F.struct("text", "tool"), payload_hash).alias("_p")
+            )
+            .select("conv_id", "turn_idx", "_p.text", "_p.tool")
+        )
 
     def expand_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time as _time

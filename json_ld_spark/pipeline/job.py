@@ -13,17 +13,19 @@ Scale shape (the round-1 design rescanned the full input once per bucket —
 2 × n_buckets source scans and zero inter-bucket parallelism; at 100 TB
 that is the difference between 1 pass and 32):
 
-1. ONE aggregate job computes per-bucket input counts (``groupBy(bucket)``).
-2. ONE extraction job writes every pending bucket via
+1. ONE extraction job writes every pending bucket via
    ``partitionBy("bucket")`` with dynamic partition overwrite — all buckets
-   extract in parallel, the source is scanned once, and committed buckets'
-   directories are never touched.
-3. A driver-side loop then commits one manifest row per bucket from the
-   *written* files (each read is partition-pruned to that bucket's
-   directory). The manifest row remains the commit point, so resume
-   granularity is still per-bucket: a crash mid-loop leaves later buckets
-   pending, and the re-run's dynamic overwrite of those partitions is
-   idempotent.
+   extract in parallel, the source is scanned exactly once, and committed
+   buckets' directories are never touched. Per-bucket input-row counts ride
+   the same action as ``observe()`` counters (round 2 paid a separate count
+   job — a second full source scan).
+2. ONE grouped metrics job aggregates clean/error/checksum for every
+   written bucket directory (round 2 ran 3 jobs per bucket,
+   driver-serially — the job-launch-latency wall at 10^3+ buckets).
+3. A driver-side loop then writes only the tiny atomic manifest rows. The
+   manifest row remains the commit point, so resume granularity is still
+   per-bucket: a crash mid-loop leaves later buckets pending, and the
+   re-run's dynamic overwrite of those partitions is idempotent.
 """
 
 from __future__ import annotations
@@ -64,10 +66,13 @@ def run_extraction_job(
     """Single-pass bucketed extraction with manifest commit + resume.
 
     ``fail_after_bucket`` is the fault-injection hook for the resume test
-    (FIXTURES.md §5.2): it raises after that many manifest commits, leaving
-    the remaining buckets pending (their data is written but uncommitted —
-    exactly the crash-mid-commit window the resume path must handle).
+    (FIXTURES.md §5.2): it raises after exactly that many manifest commits,
+    leaving the remaining buckets pending (their data is written but
+    uncommitted — exactly the crash-mid-commit window the resume path must
+    handle).
     """
+    from pyspark.sql import Observation
+
     run_id = uuid.uuid4().hex[:12]
     manifest = ParquetManifest(spark, warehouse, n_buckets)
     pending = manifest.pending_buckets()
@@ -84,18 +89,30 @@ def run_extraction_job(
         "bucket", bucket_of(F.col("conv_id"), n_buckets)
     ).where(F.col("bucket").isin(pending))
 
-    # job 1 — per-bucket input-row counts (one scan, one tiny aggregate)
-    input_rows = {
-        r["bucket"]: r["n"]
-        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-    }
+    # per-bucket input-row counts ride the extraction action itself via
+    # observe() — map-side conditional counters collected while the write
+    # job runs, so the source is scanned exactly ONCE (the round-2 shape
+    # paid a separate count job = a second full scan). One counter per
+    # pending bucket is fine for the Iceberg-typical 16–1024 bucket range;
+    # a 10^4+ bucket spec would batch commits into counter groups instead.
+    obs = Observation(f"input_rows_{run_id}")
+    bucketed = bucketed.observe(
+        obs,
+        *[
+            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0))
+            .cast("long")
+            .alias(f"b{b}")
+            for b in pending
+        ],
+    )
 
-    # job 2 — extract + write ALL pending buckets in one pass. The bucket
-    # column is a pure function of conv_id, so it is re-derived on the
-    # kernel output rather than threaded through the Arrow boundary.
-    # dedup_turns=True enforces the (conv_id, turn_idx) uniqueness
-    # precondition of the in-kernel triple dedup on this batch path
-    # (replayed/retried turn rows are common in real transcript corpora).
+    # the one extraction job — extract + write ALL pending buckets in one
+    # pass. The bucket column is a pure function of conv_id, so it is
+    # re-derived on the kernel output rather than threaded through the
+    # Arrow boundary. dedup_turns=True enforces the (conv_id, turn_idx)
+    # uniqueness precondition of the in-kernel triple dedup on this batch
+    # path (replayed/retried turn rows are common in real transcript
+    # corpora).
     triples = extract_triples(
         bucketed, contexts, dedup_turns=True
     ).withColumn("bucket", bucket_of(F.col("conv_id"), n_buckets))
@@ -107,16 +124,22 @@ def run_extraction_job(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    observed = obs.get
+    input_rows = {b: observed[f"b{b}"] for b in pending}
 
-    # driver loop — commit one manifest row per bucket from the written
-    # files; each read touches only that bucket's directory.
+    # ONE grouped metrics job over every written bucket directory, then a
+    # driver loop that only writes the tiny atomic manifest rows — commit
+    # granularity (and the crash window fail_after_bucket simulates) is
+    # still per-bucket.
+    stats = manifest.bucket_stats(pending)
     processed = 0
     for bucket in pending:
-        manifest.commit_written_bucket(
-            run_id, bucket, input_rows.get(bucket, 0), snapshot_id
+        manifest.commit_bucket(
+            run_id, bucket, input_rows.get(bucket, 0), stats.get(bucket),
+            snapshot_id,
         )
         processed += 1
-        if fail_after_bucket is not None and processed > fail_after_bucket:
+        if fail_after_bucket is not None and processed >= fail_after_bucket:
             raise RuntimeError(f"fault injection after bucket {bucket}")
 
     all_triples = manifest.read_triples()

@@ -85,6 +85,89 @@ class ParquetManifest:
         )
         return rows[0]["snapshot_id"] if rows else None
 
+    def bucket_stats(self, buckets: list[int]) -> dict[int, dict]:
+        """Per-bucket commit metrics (clean count, error count, checksum) in
+        ONE grouped aggregate over all the buckets' written directories.
+
+        The round-2 shape ran 3 separate Spark jobs per bucket
+        (clean-count, error-count, checksum), driver-serially — at a
+        realistic 10^3–10^4 buckets that is the job-launch-latency wall.
+        Here the partition-discovered ``bucket`` column groups the whole
+        sweep into one job whose result is ≤ n_buckets tiny rows; the
+        manifest-row write (the atomic commit point) stays per-bucket, so
+        crash/resume granularity is unchanged. Buckets with no directory
+        (zero emitted rows) simply have no entry — callers commit them
+        with zero metrics."""
+        dirs = [
+            d
+            for d in (
+                os.path.join(self.triples_dir, f"bucket={b}") for b in buckets
+            )
+            if os.path.isdir(d)
+        ]
+        if not dirs:
+            return {}
+        written = self.spark.read.option("basePath", self.triples_dir).parquet(
+            *dirs
+        )
+        rows = (
+            written.groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.when(F.col("error_code").isNull(), 1).otherwise(0)
+                ).cast("long").alias("triples_out"),
+                F.sum(
+                    F.when(F.col("error_code").isNotNull(), 1).otherwise(0)
+                ).cast("long").alias("errors"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.sha2(
+                                F.concat_ws(
+                                    "|", "conv_id", "turn_idx", "subj",
+                                    "pred", "obj_value",
+                                ),
+                                256,
+                            ),
+                            1, 8,
+                        ),
+                        16, 10,
+                    ).cast("long")
+                ).alias("checksum"),
+            )
+            .collect()
+        )
+        return {
+            int(r["bucket"]): {
+                "triples_out": r["triples_out"],
+                "errors": r["errors"],
+                "checksum": str(r["checksum"] if r["checksum"] is not None else 0),
+            }
+            for r in rows
+        }
+
+    def commit_bucket(
+        self,
+        run_id: str,
+        bucket: int,
+        input_rows: int,
+        stats: Optional[dict],
+        snapshot_id: Optional[str] = None,
+    ) -> dict:
+        """Write the atomic manifest row for one completed bucket.
+
+        ``stats=None`` is the zero-output bucket: the dynamic-partition
+        write created no directory for it (its conversations carry no
+        JSON-bearing turns, or the hash assigned it none) — still a
+        completed unit of work that MUST commit, otherwise the warehouse
+        would re-crash on the missing path at every resume
+        (regression-pinned in test_pipeline_resume)."""
+        metrics = dict(
+            stats or {"triples_out": 0, "errors": 0, "checksum": "0"}
+        )
+        metrics["input_rows"] = input_rows
+        return self._write_manifest_row(run_id, bucket, metrics, snapshot_id)
+
     def commit_written_bucket(
         self,
         run_id: str,
@@ -92,53 +175,10 @@ class ParquetManifest:
         input_rows: int,
         snapshot_id: Optional[str] = None,
     ) -> dict:
-        """Commit the manifest row for a bucket whose data is already on
-        disk (the single-pass ``partitionBy("bucket")`` job path). The read
-        below is partition-pruned to the one bucket directory; the manifest
-        row write is the atomic commit point.
-
-        A pending bucket that emitted ZERO rows gets no partition directory
-        from the dynamic-partition write (e.g. its conversations carry no
-        JSON-bearing turns, or the hash simply assigned it no
-        conversations) — that is still a completed unit of work and MUST
-        commit, otherwise the warehouse would re-crash on the missing path
-        at every resume (regression-pinned in test_pipeline_resume)."""
-        out_dir = os.path.join(self.triples_dir, f"bucket={bucket}")
-        if not os.path.isdir(out_dir):
-            return self._write_manifest_row(
-                run_id, bucket,
-                {"input_rows": input_rows, "triples_out": 0, "errors": 0,
-                 "checksum": "0"},
-                snapshot_id,
-            )
-        written = self.spark.read.parquet(out_dir)
-        triples_out = written.where(F.col("error_code").isNull()).count()
-        errors = written.where(F.col("error_code").isNotNull()).count()
-        checksum = (
-            written.select(
-                F.sha2(
-                    F.concat_ws(
-                        "|", "conv_id", "turn_idx", "subj", "pred", "obj_value"
-                    ),
-                    256,
-                ).alias("h")
-            )
-            # coalesce: a written-but-all-quarantine bucket sums over zero
-            # rows → null; normalize to 0 like the no-directory empty path
-            .agg(
-                F.coalesce(
-                    F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")),
-                    F.lit(0),
-                )
-            )
-            .collect()[0][0]
-        )
-        return self._write_manifest_row(
-            run_id, bucket,
-            {"input_rows": input_rows, "triples_out": triples_out,
-             "errors": errors, "checksum": str(checksum)},
-            snapshot_id,
-        )
+        """Single-bucket convenience over :meth:`bucket_stats` +
+        :meth:`commit_bucket` (one metrics job, was three in round 2)."""
+        stats = self.bucket_stats([bucket]).get(bucket)
+        return self.commit_bucket(run_id, bucket, input_rows, stats, snapshot_id)
 
     def _write_manifest_row(
         self, run_id: str, bucket: int, metrics: dict,

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from typing import Optional
@@ -74,8 +75,17 @@ class IcebergSnapshotStore:
         foreachBatch exactly-once hook): the tag is recorded as a snapshot
         summary property via the write's commit metadata, and an append
         whose tag already exists in the snapshots metadata table is a
-        no-op returning the original snapshot id."""
+        no-op returning the original snapshot id.
+
+        Tags are validated against a safe charset before SQL interpolation:
+        internal callers only pass ``batch-N`` today, but this is a public
+        API surface and Spark SQL has no parameter binding for metadata
+        queries — a quoted tag must never break out of the literal."""
         if tag is not None:
+            if not re.fullmatch(r"[A-Za-z0-9_.:-]+", tag):
+                raise ValueError(
+                    f"snapshot tag must match [A-Za-z0-9_.:-]+, got {tag!r}"
+                )
             rows = self.spark.sql(
                 f"SELECT snapshot_id FROM {self.table}.snapshots "
                 f"WHERE summary['commit-tag'] = '{tag}' LIMIT 1"
@@ -147,9 +157,16 @@ class ParquetSnapshotStore:
         ``foreachBatch`` sinks (tag = micro-batch id): a replayed batch
         after a crash re-writes an orphan data dir at worst, never a second
         snapshot — the same write-idempotence contract Iceberg gives
-        ``writeTo().append()`` under Spark's commit coordinator."""
+        ``writeTo().append()`` under Spark's commit coordinator.
+
+        Tag charset is validated like IcebergSnapshotStore.append so the
+        two stores expose one contract (pinned by tests)."""
         snaps = self._snapshots()
         if tag is not None:
+            if not re.fullmatch(r"[A-Za-z0-9_.:-]+", tag):
+                raise ValueError(
+                    f"snapshot tag must match [A-Za-z0-9_.:-]+, got {tag!r}"
+                )
             for s in snaps:
                 if s.get("tag") == tag:
                     return s["id"]

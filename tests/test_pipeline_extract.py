@@ -108,3 +108,35 @@ def test_extraction_fanout_shapes(spark, transcripts):
     assert "http://schema.org/knows" in preds  # forward + reverse templates
     assert "http://ex.org/v#affil" in preds  # ctx/base vocab concat
     assert "http://ex.org/label" in preds  # ctx/typed
+
+
+def test_dedup_turns_deterministic_survivor(spark):
+    """A replayed (conv_id, turn_idx) whose retry carried a DIFFERENT
+    payload must resolve to one deterministic survivor (max payload hash),
+    not whichever row a partitioning delivers first — otherwise triples
+    drift across runs and the byte-identical resume/checksum guarantee
+    breaks."""
+    doc_a = json.dumps({"@id": "http://ex.org/a", "http://ex.org/p": "va"})
+    doc_b = json.dumps({"@id": "http://ex.org/b", "http://ex.org/p": "vb"})
+    rows = [("c1", 0, None, doc_a), ("c1", 0, None, doc_b)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, tool string"
+    )
+    outs = set()
+    for n_parts in (1, 2, 7):
+        got = sorted(
+            tuple(r)
+            for r in extract_triples(
+                df.repartition(n_parts), dedup_turns=True
+            ).collect()
+        )
+        outs.add(tuple(got))
+        assert len(got) == 1  # one doc survives, one triple
+    assert len(outs) == 1, "survivor must not depend on partitioning"
+    # byte-identical replays keep working (the common retry case)
+    dup = spark.createDataFrame(
+        [("c1", 0, None, doc_a), ("c1", 0, None, doc_a)],
+        "conv_id string, turn_idx int, text string, tool string",
+    )
+    got = extract_triples(dup, dedup_turns=True).collect()
+    assert len(got) == 1 and got[0]["subj"] == "http://ex.org/a"

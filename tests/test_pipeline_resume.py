@@ -30,14 +30,14 @@ def test_resume_idempotent(spark, sf_dir, tmp_path):
     assert base.buckets_processed == n_buckets
     golden = _sorted_triples(base.triples)
 
-    # fault-injected run: dies after 2 buckets
+    # fault-injected run: dies after exactly 2 manifest commits
     w2 = str(tmp_path / "w_resume")
     with pytest.raises(RuntimeError, match="fault injection"):
         run_extraction_job(
-            spark, transcripts, w2, n_buckets, fail_after_bucket=1
+            spark, transcripts, w2, n_buckets, fail_after_bucket=2
         )
     m = ParquetManifest(spark, w2, n_buckets)
-    assert 0 < len(m.committed_buckets()) < n_buckets
+    assert len(m.committed_buckets()) == 2  # fail_after_bucket is exact
 
     # resume: processes only the pending buckets
     resumed = run_extraction_job(spark, transcripts, w2, n_buckets)

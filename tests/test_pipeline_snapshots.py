@@ -123,7 +123,7 @@ def test_resume_pins_input_snapshot(spark, sf_dir, tmp_path):
     # crash after 2 buckets
     w = str(tmp_path / "w_pin")
     with pytest.raises(RuntimeError, match="fault injection"):
-        run_snapshot_pipeline(spark, store, w, 4, fail_after_bucket=1)
+        run_snapshot_pipeline(spark, store, w, 4, fail_after_bucket=2)
 
     # new data lands between crash and resume
     extra = transcripts.withColumn(
@@ -141,3 +141,19 @@ def test_resume_pins_input_snapshot(spark, sf_dir, tmp_path):
     # a FRESH run (new warehouse) picks up snapshot 2
     fresh = run_snapshot_pipeline(spark, store, str(tmp_path / "w_fresh"), 4)
     assert len(_sorted_triples(fresh.triples)) == 2 * len(golden)
+
+
+def test_append_tag_charset_validated(spark, tmp_path):
+    """Both stores share one tag contract: a tag that could break out of a
+    SQL literal (IcebergSnapshotStore interpolates it into a metadata
+    query) is rejected before any write."""
+    store = ParquetSnapshotStore(spark, str(tmp_path / "store_tag"))
+    df = spark.range(1).selectExpr(
+        "cast(id as string) conv_id", "cast(id as int) turn_idx",
+        "'user' role", "'x' text", "cast(null as string) tool",
+        "current_timestamp() ts",
+    )
+    with pytest.raises(ValueError, match="snapshot tag"):
+        store.append(df, tag="bad'tag; DROP")
+    assert store.current_snapshot_id() is None  # nothing committed
+    assert store.append(df, tag="batch-0.retry:1_ok") == 1
