@@ -37,32 +37,50 @@ MENTION_SCHEMA = StructType([
     StructField("block_key", StringType()),
 ])
 
-# NER-lite: surface forms the fixture corpus emits ("Agent 17", "Event 3")
-_MENTION_RE = re.compile(r"\b(Agent|Event)\s+(\d+)\b")
+# NER-lite: surface forms the fixture corpus emits ("Agent 17", "Event 3").
+# Outer group 1 = the full surface form (extractall has no group-0 column),
+# 2 = kind, 3 = number.
+_MENTION_RE = re.compile(r"\b((Agent|Event)\s+(\d+))\b")
 
 _KIND_MAP = {"Agent": "person", "Event": "event"}
 
 
 def detect_mentions(transcripts: DataFrame) -> DataFrame:
-    """U3 — mentions(conv_id, turn_idx, surface, block_key) from turn text."""
+    """U3 — mentions(conv_id, turn_idx, surface, block_key) from turn text.
+
+    Fully vectorized inside the Arrow batch: ``Series.str.extractall`` runs
+    the regex sweep in pandas' C loop and returns one row per match with
+    the originating row index — no per-row Python ``finditer`` loop (the
+    round-2 shape), which matters at 10^12 turns."""
     src = transcripts.select("conv_id", "turn_idx", "text")
+    empty = pd.DataFrame(
+        {
+            "conv_id": pd.Series(dtype="object"),
+            "turn_idx": pd.Series(dtype="int64"),
+            "surface": pd.Series(dtype="object"),
+            "block_key": pd.Series(dtype="object"),
+        }
+    )
 
     def find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for conv_id, turn_idx, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
-            ):
-                if not isinstance(text, str):
-                    continue
-                for m in _MENTION_RE.finditer(text):
-                    kind, num = m.group(1), m.group(2)
-                    rows.append(
-                        (conv_id, int(turn_idx), m.group(0),
-                         f"{_KIND_MAP[kind]}-{int(num)}")
-                    )
+            hits = pdf["text"].str.extractall(_MENTION_RE)
+            if not len(hits):
+                yield empty
+                continue
+            ridx = hits.index.get_level_values(0).to_numpy()
+            block_key = (
+                hits[1].map(_KIND_MAP)
+                + "-"
+                + hits[2].astype("int64").astype(str)
+            )
             yield pd.DataFrame(
-                rows, columns=["conv_id", "turn_idx", "surface", "block_key"]
+                {
+                    "conv_id": pdf["conv_id"].to_numpy()[ridx],
+                    "turn_idx": pdf["turn_idx"].to_numpy()[ridx],
+                    "surface": hits[0].to_numpy(),
+                    "block_key": block_key.to_numpy(),
+                }
             )
 
     return src.mapInPandas(find, schema=MENTION_SCHEMA)
