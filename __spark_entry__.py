@@ -349,6 +349,21 @@ def _sim_lsh_topk(spark, sf_dir):
     ).orderBy("vec_id", "rank")
 
 
+def _sim_lsh_probe_topk(spark, sf_dir):
+    """Multi-probe trained sign-LSH top-k: centered/PCA-trained planes
+    (train_lsh_model, the IVF sample protocol) + one-bit-flip probe
+    buckets on the 3 lowest-margin projections — the recall fix that
+    keeps per-bucket selectivity (recall@5 on this fixture: 0.18 plain →
+    0.55; pinned by tests/test_operators_ivf.py). Oracle: independent
+    plain-numpy golden mirror (tools/make_golden.py)."""
+    from json_ld_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_planes=6, n_tables=4,
+        trained=True, n_probe_bits=3,
+    ).orderBy("vec_id", "rank")
+
+
 def _text_tokens(spark, sf_dir):
     from json_ld_spark.operators.textstats import token_count
 
@@ -651,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
         "sim_ivf_topk": _sim_ivf_topk,
+        "sim_lsh_probe_topk": _sim_lsh_probe_topk,
         # text analysis
         "text_token_count": _text_tokens,
         "text_quality": _text_quality,
@@ -876,6 +892,11 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_topk": (
             "SELECT vec_id, neighbor_id, rank, cosine "
             f"FROM read_parquet('{_GOLDEN}/sim_lsh.parquet') "
+            "ORDER BY vec_id, rank"
+        ),
+        "sim_lsh_probe_topk": (
+            "SELECT vec_id, neighbor_id, rank, cosine "
+            f"FROM read_parquet('{_GOLDEN}/sim_lsh_probe.parquet') "
             "ORDER BY vec_id, rank"
         ),
         "sim_ivf_topk": (

@@ -122,3 +122,31 @@ def test_ivf_full_probe_is_exact(embeddings):
     )
     assert exact.exceptAll(approx).count() == 0
     assert approx.exceptAll(exact).count() == 0
+
+
+def test_lsh_multiprobe_trained_recall(embeddings):
+    """The round-2 recall demand: data-adaptive planes + multi-probe must
+    lift recall@5 to ≥ 0.5 on this (LSH-hostile, weak-cosine) fixture —
+    measured 0.182 plain 4-table → 0.519 multiprobe → 0.550 trained+probe.
+    Every returned neighbor's cosine stays exact (in-bucket scoring)."""
+    from json_ld_spark.operators.similarity import lsh_topk
+
+    k = 5
+    exact = set(
+        map(
+            tuple,
+            cosine_topk(embeddings, k=k).select("vec_id", "neighbor_id").collect(),
+        )
+    )
+    approx = set(
+        map(
+            tuple,
+            lsh_topk(
+                embeddings, k=k, n_planes=6, n_tables=4,
+                trained=True, n_probe_bits=3,
+            )
+            .select("vec_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    assert len(exact & approx) / len(exact) >= 0.5

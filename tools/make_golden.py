@@ -523,6 +523,76 @@ def write_sim_lsh(
     print(f"wrote sim_lsh: {len(out)} rows")
 
 
+def write_sim_lsh_probe(
+    emb: pd.DataFrame, out_dir: str,
+    k: int = 5, n_planes: int = 6, n_tables: int = 4, n_probe_bits: int = 3,
+    sample_cap: int = 4096,
+) -> None:
+    """Mirror of lsh_topk(trained=True, n_probe_bits=3): PCA-trained
+    centered planes (train_lsh_model protocol — sample = lowest vec_ids),
+    multi-probe candidate generation (home bucket + one-bit flips of the
+    lowest-margin projections, stable argsort), exact rounded-cosine
+    ranking over the candidate union. Independent plain-numpy loop —
+    no Spark, no shard grid (the sharded execution provably returns the
+    bucket-level result; tests/test_operators_bounds.py pins it)."""
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.array([list(v) for v in emb["embedding"]], dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    n = len(ids)
+    # train_lsh_model mirror (sample = lowest vec_ids, already sorted)
+    Xs = X[:sample_cap]
+    Xs_n = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-12)
+    center = Xs_n.mean(axis=0)
+    Xc = Xs_n - center
+    cov = (Xc.T @ Xc) / max(len(Xc) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    scales = np.sqrt(np.maximum(evals, 0.0))
+    rng = np.random.default_rng(42)
+    Q = rng.standard_normal((n_tables * n_planes, len(evals)))
+    planes = ((Q * scales) @ evecs.T).reshape(n_tables, n_planes, X.shape[1])
+    # hashing input = normalized rows minus center (lsh_probe_rows trained)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    M = Xn - center
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    nrm = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
+    S = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+    cand: list[set] = [set() for _ in range(n)]
+    for t in range(n_tables):
+        proj = np.round(M @ planes[t].T, 6)
+        codes = (proj >= 0).astype(np.int64) @ weights
+        home: dict[int, list[int]] = defaultdict(list)
+        for i, c in enumerate(codes):
+            home[int(c)].append(i)
+        flips = np.argsort(np.abs(proj), axis=1, kind="stable")[:, :n_probe_bits]
+        for i in range(n):
+            probe_codes = {int(codes[i])}
+            for b in flips[i]:
+                probe_codes.add(int(codes[i] ^ (np.int64(1) << b)))
+            for pc in probe_codes:
+                for j in home.get(pc, []):
+                    if j != i:
+                        cand[i].add(j)
+    out = []
+    for i in range(n):
+        ranked = sorted(cand[i], key=lambda j: (-S[i, j], ids[j]))[:k]
+        for rank, j in enumerate(ranked, start=1):
+            out.append((int(ids[i]), int(ids[j]), rank, float(S[i, j])))
+    out.sort(key=lambda r: (r[0], r[2]))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in out], type=pa.int64()),
+                pa.array([r[1] for r in out], type=pa.int64()),
+                pa.array([r[2] for r in out], type=pa.int32()),
+                pa.array([r[3] for r in out], type=pa.float64()),
+            ],
+            names=["vec_id", "neighbor_id", "rank", "cosine"],
+        ),
+        os.path.join(out_dir, "sim_lsh_probe.parquet"),
+    )
+    print(f"wrote sim_lsh_probe: {len(out)} rows")
+
+
 def write_sim_ivf(
     emb: pd.DataFrame, out_dir: str,
     k: int = 5, n_cells: int = 8, n_probe: int = 6,
@@ -708,6 +778,7 @@ def main() -> int:
 
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     write_sim_lsh(emb, out_dir)
+    write_sim_lsh_probe(emb, out_dir)
     write_sim_ivf(emb, out_dir)
     write_dedup_embedding_lsh(emb, out_dir)
     write_mm_features(out_dir)
