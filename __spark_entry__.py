@@ -185,6 +185,21 @@ def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_framed_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD Framing (§9, kernel/frame.py) per JSON-bearing turn: frame
+    every document against the entity-root frame (match schema:name,
+    @once embedding), emit per-root shape counts + an md5 fingerprint of
+    the canonical framed JSON — a bit-exact pin of the whole framed
+    structure. Oracle: Spark-free kernel-loop golden
+    (tools/make_golden.py write_framed_entities)."""
+    from json_ld_spark.pipeline.extract import frame_turn_entities
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    return frame_turn_entities(synth_transcripts(spark, sf_dir)).orderBy(
+        "conv_id", "turn_idx", "doc_idx", "root_id"
+    )
+
+
 def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.entity import (
         detect_mentions, entity_dictionary, link_mentions,
@@ -647,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_hotconv": _kg_triples_hotconv,
         "kg_nquads": _kg_nquads,
         "kg_flatten_stats": _kg_flatten_stats,
+        "kg_framed_entities": _kg_framed_entities,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_pagerank": _kg_pagerank,
@@ -835,6 +851,12 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(out_degree, 0)::BIGINT AS out_degree, "
             "coalesce(in_degree, 0)::BIGINT AS in_degree "
             "FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node"
+        ),
+        "kg_framed_entities": (
+            "SELECT conv_id, turn_idx, doc_idx, root_id, n_props, "
+            "n_embedded, frame_fp "
+            f"FROM read_parquet('{_GOLDEN}/framed_entities.parquet') "
+            "ORDER BY conv_id, turn_idx, doc_idx, root_id"
         ),
         "kg_mentions": (
             "WITH m0 AS (SELECT conv_id, turn_idx, "

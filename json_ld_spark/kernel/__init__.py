@@ -29,6 +29,7 @@ from .expand_doc import (
 )
 from .compact import compact_document, compact_iri, compact_value
 from .flatten import flatten_document, flatten_expanded, flatten_stats
+from .frame import expand_frame, frame_document, frame_expanded
 from .from_rdf import triples_to_expanded
 from .profile import LoadDocumentOptions, Profile, RequestProfile
 
@@ -51,6 +52,9 @@ __all__ = [
     "flatten_document",
     "flatten_expanded",
     "flatten_stats",
+    "expand_frame",
+    "frame_document",
+    "frame_expanded",
     "triples_to_expanded",
     "LoadDocumentOptions",
     "Profile",

@@ -67,6 +67,11 @@ class ErrorCode(str, enum.Enum):
     PROCESSING_MODE_CONFLICT = "processing mode conflict"
     PROTECTED_TERM_REDEFINITION = "protected term redefinition"
     UNCATEGORIZED = "uncategorized error"
+    # --- extensions from the FRAMING spec's registry (WD-json-ld11-framing
+    # §7 error handling) — not in the API registry the reference mirrors
+    # (src/error.rs has no framing codes); used by kernel/frame.py
+    INVALID_FRAME = "invalid frame"
+    INVALID_EMBED_VALUE = "invalid @embed value"
 
 
 class JsonLdError(Exception):

@@ -375,3 +375,122 @@ def extract_triples(
             task_metrics_acc.add([(n_in, _time.perf_counter() - t0)])
 
     return candidates.mapInPandas(expand_batches, schema=TRIPLE_SCHEMA)
+
+
+FRAMED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("doc_idx", IntegerType()),
+        StructField("root_id", StringType()),
+        StructField("n_props", IntegerType()),
+        StructField("n_embedded", IntegerType()),
+        StructField("frame_fp", StringType()),
+    ]
+)
+
+# default frame for the transcript corpus: match the entity roots (nodes
+# carrying schema:name — the person/entity subjects every template emits)
+# and embed everything reachable once. Expanded form: property IRIs direct.
+DEFAULT_TURN_FRAME: dict = {"http://schema.org/name": [{}]}
+
+
+def _framed_node_stats(node) -> tuple[int, int]:
+    """(n_props on root, n_embedded node objects anywhere below root)."""
+    n_props = sum(1 for p in node if not p.startswith("@"))
+
+    def count_embedded(value) -> int:
+        if isinstance(value, list):
+            return sum(count_embedded(v) for v in value)
+        if isinstance(value, dict):
+            if "@list" in value:
+                return count_embedded(value["@list"])
+            inner = sum(
+                count_embedded(v) for k, v in value.items() if k != "@id"
+            )
+            is_node = "@id" in value and "@value" not in value and len(value) > 1
+            return inner + (1 if is_node else 0)
+        return 0
+
+    return n_props, sum(
+        count_embedded(v) for k, v in node.items() if not k.startswith("@")
+    )
+
+
+def frame_turn_entities(
+    transcripts: DataFrame,
+    contexts: Optional[ContextDict] = None,
+    frame: Optional[dict] = None,
+) -> DataFrame:
+    """§9 Framing applied per JSON-bearing turn (kernel/frame.py — the last
+    JsonLdProcessor entry): each document expands, frames against
+    ``frame`` (expanded form; default = entity roots by schema:name), and
+    every framed root emits one row with its shape counts plus an md5
+    fingerprint of the canonical framed JSON — a bit-exact pin of the
+    whole framed structure for the golden oracle. Same Arrow-batched plan
+    shape as extract_triples: candidate filter JVM-side, 4-column pruning,
+    map-only; failing docs are skipped (quarantine is extract_triples'
+    job)."""
+    import hashlib
+
+    from ..kernel import frame_expanded
+
+    frame = frame or DEFAULT_TURN_FRAME
+    contexts = contexts or ContextDict()
+    bc = transcripts.sparkSession.sparkContext.broadcast(
+        (contexts.raw, contexts.document_iri, frame)
+    )
+    candidates = transcripts.select(
+        "conv_id", "turn_idx", "text", "tool"
+    ).where(_candidate_filter())
+
+    def framed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raw_contexts, document_iri, frame_obj = bc.value
+        expander = TurnExpander(raw_contexts, document_iri)
+
+        def frame_doc(raw: str):
+            try:
+                doc = json.loads(raw)
+            except (json.JSONDecodeError, ValueError):
+                return []
+            try:
+                ctx_value = (
+                    doc.get("@context") if isinstance(doc, Mapping) else None
+                )
+                if ctx_value is not None:
+                    active = expander._active_context(ctx_value)
+                    body = {k: v for k, v in doc.items() if k != "@context"}
+                else:
+                    active = Context(base=document_iri)
+                    body = doc
+                expanded = expand_document(expander.processor, active, body)
+                return frame_expanded(expanded, frame_obj)
+            except JsonLdError:
+                return []
+
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
+            ):
+                for doc_idx, raw in enumerate(iter_turn_documents(text, tool)):
+                    for root in frame_doc(raw):
+                        n_props, n_embedded = _framed_node_stats(root)
+                        fp = hashlib.md5(
+                            json.dumps(
+                                root, sort_keys=True, separators=(",", ":")
+                            ).encode()
+                        ).hexdigest()
+                        rows.append(
+                            (conv_id, int(turn_idx), doc_idx, root["@id"],
+                             n_props, n_embedded, fp)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "doc_idx", "root_id",
+                    "n_props", "n_embedded", "frame_fp",
+                ],
+            )
+
+    return candidates.mapInPandas(framed_batches, schema=FRAMED_SCHEMA)

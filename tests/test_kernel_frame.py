@@ -1,0 +1,180 @@
+"""Framing (§9 subset, kernel/frame.py) tests: matching, embedding
+policies, explicit/default, errors. Spark-free."""
+
+import pytest
+
+from json_ld_spark.contexts import ContextDict
+from json_ld_spark.kernel import (
+    Context,
+    ErrorCode,
+    JsonLdError,
+    ProcessorOptions,
+    expand_document,
+    frame_document,
+    frame_expanded,
+)
+
+DOC = {
+    "@id": "http://ex.org/a",
+    "@type": "http://ex.org/Person",
+    "http://ex.org/name": "A",
+    "http://ex.org/knows": {
+        "@id": "http://ex.org/b",
+        "@type": "http://ex.org/Person",
+        "http://ex.org/name": "B",
+        "http://ex.org/knows": {"@id": "http://ex.org/a"},
+    },
+    "http://ex.org/attends": {
+        "@id": "http://ex.org/e1",
+        "@type": "http://ex.org/Event",
+        "http://ex.org/label": "kickoff",
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def env():
+    cd = ContextDict()
+    proc = ProcessorOptions(
+        document_iri=cd.document_iri, context_loader=dict(cd.raw)
+    )
+    ctx = Context(base=cd.document_iri)
+    return proc, ctx
+
+
+@pytest.fixture(scope="module")
+def expanded(env):
+    proc, ctx = env
+    return expand_document(proc, ctx, DOC)
+
+
+def _ids(framed):
+    return [n["@id"] for n in framed]
+
+
+def test_type_match_and_embed_once(expanded):
+    framed = frame_expanded(expanded, {"@type": ["http://ex.org/Person"]})
+    assert _ids(framed) == ["http://ex.org/a", "http://ex.org/b"]
+    a = framed[0]
+    # b embedded under a (first occurrence)
+    b = a["http://ex.org/knows"][0]
+    assert b["@id"] == "http://ex.org/b"
+    assert "http://ex.org/name" in b
+    # the cycle back to a is a bare reference
+    assert b["http://ex.org/knows"] == [{"@id": "http://ex.org/a"}]
+    # event embedded too (default frame embeds everything reachable)
+    assert a["http://ex.org/attends"][0]["@type"] == ["http://ex.org/Event"]
+
+
+def test_type_wildcard_and_match_none(expanded):
+    assert len(frame_expanded(expanded, {"@type": [{}]})) == 3  # any typed
+    assert frame_expanded(expanded, {"@type": []}) == []  # only untyped
+
+
+def test_id_match(expanded):
+    framed = frame_expanded(expanded, {"@id": ["http://ex.org/e1"]})
+    assert _ids(framed) == ["http://ex.org/e1"]
+
+
+def test_property_match_requireall(expanded):
+    # any-of: name OR label → all three nodes
+    frame = {"http://ex.org/name": [{}], "http://ex.org/label": [{}]}
+    assert len(frame_expanded(expanded, frame)) == 3
+    # require-all: name AND label → nobody
+    frame_all = dict(frame, **{"@requireAll": True})
+    assert frame_expanded(expanded, frame_all) == []
+
+
+def test_property_match_absent(expanded):
+    # [] = match nodes WITHOUT the property
+    framed = frame_expanded(expanded, {"http://ex.org/name": []})
+    assert _ids(framed) == ["http://ex.org/e1"]
+
+
+def test_embed_never(expanded):
+    framed = frame_expanded(
+        expanded,
+        {"@type": ["http://ex.org/Person"], "@embed": "@never"},
+    )
+    a = framed[0]
+    assert a["http://ex.org/knows"] == [{"@id": "http://ex.org/b"}]
+    assert a["http://ex.org/attends"] == [{"@id": "http://ex.org/e1"}]
+
+
+def test_embed_always_rembeds_previous(expanded):
+    framed = frame_expanded(
+        expanded,
+        {"@id": ["http://ex.org/a"], "@embed": "@always"},
+    )
+    b = framed[0]["http://ex.org/knows"][0]
+    assert "http://ex.org/name" in b  # embedded, not a ref
+    # cycle still cut by the path guard
+    assert b["http://ex.org/knows"] == [{"@id": "http://ex.org/a"}]
+
+
+def test_explicit_and_default(expanded):
+    framed = frame_expanded(
+        expanded,
+        {
+            "@id": ["http://ex.org/a"],
+            "@explicit": True,
+            "http://ex.org/name": [{}],
+            "http://ex.org/age": [{"@default": 33}],
+        },
+    )
+    a = framed[0]
+    assert set(p for p in a if not p.startswith("@")) == {
+        "http://ex.org/name", "http://ex.org/age"
+    }
+    assert a["http://ex.org/age"] == [{"@value": 33}]
+
+
+def test_invalid_embed_value(expanded):
+    with pytest.raises(JsonLdError) as e:
+        frame_expanded(expanded, {"@embed": "@sometimes"})
+    assert e.value.code == ErrorCode.INVALID_EMBED_VALUE
+
+
+def test_invalid_frame(expanded):
+    with pytest.raises(JsonLdError) as e:
+        frame_expanded(expanded, "not-a-frame")
+    assert e.value.code == ErrorCode.INVALID_FRAME
+
+
+def test_frame_document_with_context(env):
+    """End-to-end frame() over a fixture-context document: the frame's own
+    @context expands its terms."""
+    proc, ctx = env
+    doc = {
+        "@context": "https://example.org/ctx/prefix",
+        "@id": "http://ex.org/person-1",
+        "name": "Agent 1",
+        "knows": {"@id": "http://ex.org/person-2"},
+    }
+    from json_ld_spark.kernel import process_context
+
+    active = process_context(proc, ctx, doc["@context"], proc.document_iri)
+    body = {k: v for k, v in doc.items() if k != "@context"}
+    framed = frame_document(
+        proc, active, body,
+        {"@context": "https://example.org/ctx/prefix", "name": {}},
+        frame_ctx=ctx,
+    )
+    assert _ids(framed) == ["http://ex.org/person-1"]
+    assert framed[0]["http://schema.org/name"] == [{"@value": "Agent 1"}]
+
+
+def test_subframe_explicit_scopes_embedded_node(expanded):
+    """A per-property subframe controls the embedded node's shape."""
+    framed = frame_expanded(
+        expanded,
+        {
+            "@id": ["http://ex.org/a"],
+            "http://ex.org/knows": [
+                {"@explicit": True, "http://ex.org/name": [{}]}
+            ],
+        },
+    )
+    b = framed[0]["http://ex.org/knows"][0]
+    assert "http://ex.org/name" in b
+    assert "http://ex.org/knows" not in b  # explicit subframe pruned it

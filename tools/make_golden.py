@@ -444,6 +444,86 @@ def write_pagerank(out_dir: str, n_iters: int = 10) -> None:
     print(f"wrote pagerank: {len(top)} rows (graph: {n} nodes, {len(pairs)} edges)")
 
 
+# ------------------------------------------------------------ framed entities
+
+def write_framed_entities(transcripts: pd.DataFrame, out_dir: str) -> None:
+    """Kernel-only mirror of pipeline/extract.frame_turn_entities (no
+    caches, no Spark): per candidate turn per document, frame against the
+    default entity frame and emit per-root shape counts + the md5
+    fingerprint of the canonical framed JSON."""
+    import hashlib
+
+    from json_ld_spark.kernel import expand_document, frame_expanded
+    from json_ld_spark.pipeline.extract import (
+        DEFAULT_TURN_FRAME,
+        _framed_node_stats,
+    )
+
+    cd = ContextDict()
+    processor = cd.processor
+    document_iri = cd.document_iri
+
+    def frame_doc(raw: str):
+        try:
+            doc = json.loads(raw)
+        except (json.JSONDecodeError, ValueError):
+            return []
+        try:
+            ctx_value = doc.get("@context") if isinstance(doc, Mapping) else None
+            if ctx_value is not None:
+                active = process_context(
+                    processor, Context(base=document_iri), ctx_value,
+                    document_iri,
+                )
+                body = {k: v for k, v in doc.items() if k != "@context"}
+            else:
+                active = Context(base=document_iri)
+                body = doc
+            expanded = expand_document(processor, active, body)
+            return frame_expanded(expanded, DEFAULT_TURN_FRAME)
+        except JsonLdError:
+            return []
+
+    rows = []
+    for conv_id, turn_idx, text, tool in zip(
+        transcripts["conv_id"], transcripts["turn_idx"],
+        transcripts["text"], transcripts["tool"],
+    ):
+        has_inline = isinstance(text, str) and "<jsonld>" in text
+        if not (isinstance(tool, str) or has_inline):
+            continue
+        raws = []
+        if isinstance(tool, str) and tool:
+            raws.append(tool)
+        if has_inline:
+            raws.extend(_INLINE_RE.findall(text))
+        for doc_idx, raw in enumerate(raws):
+            for root in frame_doc(raw):
+                n_props, n_embedded = _framed_node_stats(root)
+                fp = hashlib.md5(
+                    json.dumps(root, sort_keys=True, separators=(",", ":")).encode()
+                ).hexdigest()
+                rows.append(
+                    (conv_id, int(turn_idx), doc_idx, root["@id"],
+                     n_props, n_embedded, fp)
+                )
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.string()),
+            pa.array([r[1] for r in rows], type=pa.int32()),
+            pa.array([r[2] for r in rows], type=pa.int32()),
+            pa.array([r[3] for r in rows], type=pa.string()),
+            pa.array([r[4] for r in rows], type=pa.int32()),
+            pa.array([r[5] for r in rows], type=pa.int32()),
+            pa.array([r[6] for r in rows], type=pa.string()),
+        ],
+        names=["conv_id", "turn_idx", "doc_idx", "root_id",
+               "n_props", "n_embedded", "frame_fp"],
+    )
+    pq.write_table(table, os.path.join(out_dir, "framed_entities.parquet"))
+    print(f"wrote framed_entities: {len(rows)} rows")
+
+
 # ------------------------------------------------------------ ANN mirrors
 
 def _to_matrix(list_of_vecs) -> np.ndarray:
@@ -770,6 +850,7 @@ def main() -> int:
     transcripts = pd.read_parquet(os.path.join(out_dir, "transcripts.parquet"))
     rows = write_triples(transcripts, out_dir, "triples")
     write_flatten_stats(transcripts, out_dir)
+    write_framed_entities(transcripts, out_dir)
     write_error_stats(transcripts, out_dir)
     write_nodes_edges(rows, out_dir)
     write_pagerank(out_dir)
