@@ -223,3 +223,147 @@ def canonicalize(
     return canon_full.select(
         F.col("iri").alias("id"), F.col("canon_id").alias("component")
     ), nodes, edges
+
+
+def incremental_canonicalize(
+    old_triples: DataFrame,
+    new_triples: DataFrame,
+    prev_entities: DataFrame,
+    prev_canon: DataFrame,
+    prev_edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Incremental entity layer for snapshot appends: canonicalize ONLY the
+    blocks a genuinely-new entity touches and rewrite ONLY the triples an
+    affected canon touches, instead of re-running CC + the two rewrite
+    joins over the whole corpus (``canonicalize``).
+
+    Why this is exact (not an approximation): ``block_key`` is a pure
+    function of the entity IRI and ``same_as_edges`` only links entities
+    within one block, so connected components NEVER span blocks —
+    components of untouched blocks are untouched, bit-for-bit. Edge
+    groups whose endpoints' canon ids did not change keep their previous
+    counts; every triple with a changed-canon endpoint, plus every new
+    triple, re-aggregates. Equality with the full recompute is pinned by
+    tests/test_pipeline_entity.py.
+
+    At 10^12 turns this is the difference between an append costing
+    O(delta + affected blocks) and re-running the CC loop over 10^9
+    entities: the only full-corpus touches left are two semi-join-filtered
+    scans of the OLD triples (subj/obj membership in the changed-entity
+    set — a broadcast-sized set for typical appends).
+
+    Returns ``(entities, canon_full, nodes, edges)`` where ``canon_full``
+    is (iri, canon_id) for every known entity.
+    """
+    clean_new = new_triples.where(F.col("error_code").isNull())
+    new_ents = entity_dictionary(clean_new)
+    genuinely_new = new_ents.join(
+        prev_entities.select("entity_iri"), "entity_iri", "left_anti"
+    )
+    entities = prev_entities.unionByName(genuinely_new).localCheckpoint()
+    affected_keys = genuinely_new.select("block_key").distinct()
+
+    # canon: recompute affected blocks, reuse the rest verbatim
+    affected_entities = entities.join(
+        F.broadcast(affected_keys), "block_key", "left_semi"
+    )
+    comp = connected_components(same_as_edges(affected_entities))
+    canon_aff = (
+        affected_entities.join(
+            comp, affected_entities.entity_iri == comp.id, "left"
+        )
+        .select(
+            F.col("entity_iri").alias("iri"),
+            F.coalesce("component", "entity_iri").alias("canon_id"),
+        )
+    )
+    canon_keep = prev_canon.join(
+        F.broadcast(affected_keys),
+        entity_local_name(F.col("iri")) == F.col("block_key"),
+        "left_anti",
+    )
+    canon_full = canon_keep.unionByName(canon_aff).localCheckpoint()
+
+    # nodes: re-aggregate over the (entity-scale, triples-free) canon table
+    nodes = (
+        canon_full.groupBy("canon_id")
+        .agg(F.count("*").alias("n_aliases"), F.min("iri").alias("iri"))
+        .withColumn(
+            "kind",
+            F.when(F.col("canon_id").contains("person"), "person")
+            .when(F.col("canon_id").contains("event"), "event")
+            .when(F.col("canon_id").contains("org"), "org")
+            .otherwise("other"),
+        )
+        .select("canon_id", "iri", "kind", "n_aliases")
+    )
+
+    # edges: keep groups with both endpoints' canon unchanged; re-aggregate
+    # every old triple touching a changed entity plus every new triple
+    changed = canon_aff.join(
+        prev_canon.withColumnRenamed("canon_id", "prev_canon_id"),
+        "iri",
+        "left",
+    ).where(
+        F.col("prev_canon_id").isNull()
+        | (F.col("prev_canon_id") != F.col("canon_id"))
+    )
+    changed_iris = changed.select("iri").localCheckpoint()
+    stale_canons = (
+        prev_canon.join(changed_iris, "iri", "left_semi")
+        .select("canon_id")
+        .distinct()
+    )
+    keep_edges = prev_edges.join(
+        F.broadcast(stale_canons.withColumnRenamed("canon_id", "src_canon")),
+        "src_canon",
+        "left_anti",
+    ).join(
+        F.broadcast(stale_canons.withColumnRenamed("canon_id", "dst_canon")),
+        "dst_canon",
+        "left_anti",
+    )
+    clean_old = old_triples.where(
+        (F.col("error_code").isNull()) & (F.col("obj_kind") == "iri")
+    )
+    touched_old = clean_old.join(
+        F.broadcast(changed_iris.withColumnRenamed("iri", "subj")),
+        "subj",
+        "left_semi",
+    ).unionByName(
+        clean_old.join(
+            F.broadcast(changed_iris.withColumnRenamed("iri", "obj_value")),
+            "obj_value",
+            "left_semi",
+        ).join(
+            F.broadcast(changed_iris.withColumnRenamed("iri", "subj")),
+            "subj",
+            "left_anti",  # subj-touched rows already taken: no double count
+        )
+    )
+    recompute = touched_old.unionByName(
+        clean_new.where(F.col("obj_kind") == "iri").select(*touched_old.columns)
+    )
+    subj_map = canon_full.select(
+        F.col("iri").alias("subj"), F.col("canon_id").alias("src_canon")
+    )
+    obj_map = canon_full.select(
+        F.col("iri").alias("obj_value"), F.col("canon_id").alias("dst_canon")
+    )
+    redone = (
+        recompute.join(subj_map, "subj", "inner")
+        .join(obj_map, "obj_value", "inner")
+        .where(
+            ~F.col("pred").startswith(
+                "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+            )
+        )
+        .groupBy("src_canon", "pred", "dst_canon")
+        .agg(F.count("*").alias("provenance"))
+    )
+    edges = (
+        keep_edges.unionByName(redone)
+        .groupBy("src_canon", "pred", "dst_canon")
+        .agg(F.sum("provenance").alias("provenance"))
+    )
+    return entities, canon_full, nodes, edges

@@ -193,3 +193,108 @@ def run_snapshot_pipeline(
         fail_after_bucket=fail_after_bucket,
         snapshot_id=pinned,
     )
+
+
+def run_incremental_snapshot_pipeline(
+    spark: SparkSession,
+    store,
+    warehouse: str,
+    contexts: Optional[ContextDict] = None,
+) -> JobResult:
+    """Append-incremental entity layer over a SnapshotStore: the first run
+    bootstraps (full extraction + canonicalization); each later run
+    extracts ONLY the snapshot delta (``store.read_delta``), re-runs CC
+    only for blocks a new entity touches and re-aggregates only the edge
+    groups a changed canon touches (``entity.incremental_canonicalize``).
+    State (triples/entities/canon/edges parquet + the last processed
+    snapshot id) lives under ``warehouse/entity_state`` with the same
+    write-tmp-then-rename commit the manifest uses.
+
+    At 10^12 turns this turns a snapshot append from "re-run the CC loop
+    over every entity and two rewrite joins over every triple" into
+    O(delta + affected blocks) — the only full-corpus work left is the
+    semi-join-filtered old-triple scan for changed canons.
+    """
+    import json as _json
+    import os
+
+    from .entity import canonicalize, entity_dictionary, incremental_canonicalize
+
+    state_dir = os.path.join(warehouse, "entity_state")
+    os.makedirs(state_dir, exist_ok=True)
+    meta_path = os.path.join(state_dir, "state.json")
+    current = store.current_snapshot_id()
+    if current is None:
+        raise ValueError("snapshot store is empty")
+
+    def _p(name: str) -> str:
+        return os.path.join(state_dir, name)
+
+    def _commit_state(triples, entities, canon, nodes, edges, snapshot_id):
+        # two-phase: ALL tmp dirs are written while the previous state
+        # directories are still intact (the new DataFrames are lazy plans
+        # that READ the old state — replacing a dir mid-sequence would pull
+        # files out from under an in-flight plan), then all renames happen
+        # driver-side with no Spark job in between.
+        import shutil
+
+        pairs = [
+            ("triples", triples), ("entities", entities), ("canon", canon),
+            ("nodes", nodes), ("edges", edges),
+        ]
+        for name, df in pairs:
+            df.write.mode("overwrite").parquet(_p(f"_tmp_{name}"))
+        for name, _df in pairs:
+            final = _p(name)
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.replace(_p(f"_tmp_{name}"), final)
+        tmp_meta = meta_path + ".tmp"
+        with open(tmp_meta, "w") as fh:
+            _json.dump({"snapshot_id": snapshot_id}, fh)
+        os.replace(tmp_meta, meta_path)
+
+    run_id = uuid.uuid4().hex[:12]
+    if not os.path.exists(meta_path):
+        # bootstrap: full pipeline over the current snapshot
+        triples = extract_triples(
+            store.read(current), contexts, dedup_turns=True
+        )
+        canon_map, nodes, edges = canonicalize(triples, materialize=True)
+        canon = canon_map.select(
+            F.col("id").alias("iri"), F.col("component").alias("canon_id")
+        )
+        entities = entity_dictionary(
+            triples.where(F.col("error_code").isNull())
+        )
+        _commit_state(triples, entities, canon, nodes, edges, current)
+        return JobResult(
+            run_id, 1, spark.read.parquet(_p("triples")),
+            spark.read.parquet(_p("nodes")), spark.read.parquet(_p("edges")),
+        )
+
+    with open(meta_path) as fh:
+        last = _json.load(fh)["snapshot_id"]
+    if current == last:
+        return JobResult(
+            run_id, 0, spark.read.parquet(_p("triples")),
+            spark.read.parquet(_p("nodes")), spark.read.parquet(_p("edges")),
+        )
+
+    old_triples = spark.read.parquet(_p("triples"))
+    new_triples = extract_triples(
+        store.read_delta(last, current), contexts, dedup_turns=True
+    ).localCheckpoint()
+    entities, canon, nodes, edges = incremental_canonicalize(
+        old_triples,
+        new_triples,
+        spark.read.parquet(_p("entities")),
+        spark.read.parquet(_p("canon")),
+        spark.read.parquet(_p("edges")),
+    )
+    all_triples = old_triples.unionByName(new_triples)
+    _commit_state(all_triples, entities, canon, nodes, edges, current)
+    return JobResult(
+        run_id, 1, spark.read.parquet(_p("triples")),
+        spark.read.parquet(_p("nodes")), spark.read.parquet(_p("edges")),
+    )

@@ -150,6 +150,27 @@ class ParquetSnapshotStore:
         ]
         return self.spark.read.parquet(*dirs)
 
+    def read_delta(self, from_id: int, to_id: Optional[int] = None) -> DataFrame:
+        """Rows ADDED strictly after snapshot ``from_id`` up to ``to_id``
+        (default: current) — the append-delta an incremental consumer
+        (pipeline/job.run_incremental_snapshot_pipeline) feeds downstream
+        instead of re-reading the whole table. Delta manifests make this a
+        pure metadata operation (the Iceberg incremental-read shape)."""
+        snaps = self._snapshots()
+        if to_id is None:
+            if not snaps:
+                raise ValueError("store has no snapshots")
+            to_id = snaps[-1]["id"]
+        dirs = [
+            d
+            for s in snaps
+            if from_id < s["id"] <= to_id
+            for d in s["added"]
+        ]
+        if not dirs:
+            raise ValueError(f"empty delta ({from_id}, {to_id}]")
+        return self.spark.read.parquet(*dirs)
+
     def append(self, df: DataFrame, tag: Optional[str] = None) -> int:
         """Append a snapshot; ``tag`` makes the commit idempotent: a second
         append with an already-committed tag is a no-op returning the

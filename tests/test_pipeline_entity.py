@@ -115,3 +115,120 @@ def test_mention_detection_and_linking(spark, sf_dir, triples):
     sample = hit.limit(20).collect()
     for r in sample:
         assert r.block_key in r.cand_entity
+
+
+def test_incremental_canonicalize_matches_full(spark, sf_dir):
+    """Snapshot-append increment: only affected blocks re-run CC, only
+    changed-canon triples re-aggregate — and the result must equal the
+    full recompute bit-for-bit. The delta exercises all three cases:
+    (a) a brand-new block, (b) a new alias that becomes the new minimum of
+    an EXISTING block (old members' canon changes, stale edge groups must
+    be dropped and re-derived), (c) untouched blocks."""
+    from json_ld_spark.pipeline.entity import (
+        canonicalize,
+        entity_dictionary,
+        incremental_canonicalize,
+    )
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    old_triples = extract_triples(
+        synth_transcripts(spark, sf_dir)
+    ).localCheckpoint()
+    canon_map, _nodes, edges_prev = canonicalize(old_triples)
+    prev_canon = canon_map.select(
+        F.col("id").alias("iri"), F.col("component").alias("canon_id")
+    ).localCheckpoint()
+    prev_entities = entity_dictionary(
+        old_triples.where(F.col("error_code").isNull())
+    ).localCheckpoint()
+    edges_prev = edges_prev.localCheckpoint()
+
+    delta_docs = [
+        # (b) new min of an existing block: 'a/person-3' < 'd/person-3'
+        '{"@id":"http://ex.org/a/person-3","http://schema.org/name":"alias",'
+        '"http://schema.org/knows":{"@id":"http://ex.org/person-4"}}',
+        # (a) brand-new block + edge into an untouched entity
+        '{"@id":"http://ex.org/person-99999",'
+        '"http://schema.org/name":"new one",'
+        '"http://schema.org/knows":{"@id":"http://ex.org/person-7"}}',
+    ]
+    t2 = spark.createDataFrame(
+        [
+            ("conv-new", i, "tool", "tool call", doc)
+            for i, doc in enumerate(delta_docs)
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    new_triples = extract_triples(t2).localCheckpoint()
+    assert new_triples.where(F.col("error_code").isNotNull()).count() == 0
+
+    ents, canon_full, nodes, edges = incremental_canonicalize(
+        old_triples, new_triples, prev_entities, prev_canon, edges_prev
+    )
+    full_canon, full_nodes, full_edges = canonicalize(
+        old_triples.unionByName(new_triples)
+    )
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(canon_full, ["iri", "canon_id"]) == rows(
+        full_canon.select(
+            F.col("id").alias("iri"), F.col("component").alias("canon_id")
+        ),
+        ["iri", "canon_id"],
+    )
+    assert rows(nodes, ["canon_id", "iri", "kind", "n_aliases"]) == rows(
+        full_nodes, ["canon_id", "iri", "kind", "n_aliases"]
+    )
+    assert rows(edges, ["src_canon", "pred", "dst_canon", "provenance"]) == rows(
+        full_edges, ["src_canon", "pred", "dst_canon", "provenance"]
+    )
+    # the increment really did change an existing block's canon
+    moved = prev_canon.join(
+        canon_full.withColumnRenamed("canon_id", "new_canon"), "iri"
+    ).where(F.col("canon_id") != F.col("new_canon"))
+    assert moved.count() > 0
+
+
+def test_incremental_noop_delta_is_identity(spark, sf_dir):
+    """An append introducing NO new entities must keep canon/nodes/edges
+    verbatim (zero affected blocks, zero recomputed edge groups beyond the
+    new triples' own contributions)."""
+    from json_ld_spark.pipeline.entity import (
+        canonicalize,
+        entity_dictionary,
+        incremental_canonicalize,
+    )
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    old_triples = extract_triples(
+        synth_transcripts(spark, sf_dir)
+    ).localCheckpoint()
+    canon_map, nodes_prev, edges_prev = canonicalize(old_triples)
+    prev_canon = canon_map.select(
+        F.col("id").alias("iri"), F.col("component").alias("canon_id")
+    ).localCheckpoint()
+    prev_entities = entity_dictionary(
+        old_triples.where(F.col("error_code").isNull())
+    ).localCheckpoint()
+
+    empty = spark.createDataFrame(
+        [], old_triples.schema
+    )
+    ents, canon_full, nodes, edges = incremental_canonicalize(
+        old_triples, empty, prev_entities, prev_canon,
+        edges_prev.localCheckpoint(),
+    )
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(canon_full, ["iri", "canon_id"]) == rows(
+        prev_canon, ["iri", "canon_id"]
+    )
+    assert rows(edges, ["src_canon", "pred", "dst_canon", "provenance"]) == rows(
+        edges_prev, ["src_canon", "pred", "dst_canon", "provenance"]
+    )

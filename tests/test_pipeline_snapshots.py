@@ -157,3 +157,52 @@ def test_append_tag_charset_validated(spark, tmp_path):
         store.append(df, tag="bad'tag; DROP")
     assert store.current_snapshot_id() is None  # nothing committed
     assert store.append(df, tag="batch-0.retry:1_ok") == 1
+
+
+def test_incremental_pipeline_over_snapshots(spark, sf_dir, tmp_path):
+    """Bootstrap on snapshot 1, append a delta, incremental run: nodes and
+    edges must equal a from-scratch pipeline over the full table."""
+    from json_ld_spark.pipeline.entity import canonicalize
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.job import run_incremental_snapshot_pipeline
+
+    store = ParquetSnapshotStore(spark, str(tmp_path / "inc_store"))
+    t1 = synth_transcripts(spark, sf_dir)
+    store.append(t1)
+    w = str(tmp_path / "inc_wh")
+
+    boot = run_incremental_snapshot_pipeline(spark, store, w)
+    assert boot.buckets_processed == 1
+    n_nodes_1 = boot.nodes.count()
+
+    delta = spark.createDataFrame(
+        [
+            (
+                "conv-new", 0, "tool", "tool call",
+                '{"@id":"http://ex.org/a/person-3",'
+                '"http://schema.org/name":"alias",'
+                '"http://schema.org/knows":{"@id":"http://ex.org/person-4"}}',
+            )
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    store.append(delta)
+
+    inc = run_incremental_snapshot_pipeline(spark, store, w)
+    assert inc.buckets_processed == 1
+
+    full_triples = extract_triples(store.read(), dedup_turns=True)
+    _, full_nodes, full_edges = canonicalize(full_triples, materialize=True)
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    cols_n = ["canon_id", "iri", "kind", "n_aliases"]
+    cols_e = ["src_canon", "pred", "dst_canon", "provenance"]
+    assert rows(inc.nodes, cols_n) == rows(full_nodes, cols_n)
+    assert rows(inc.edges, cols_e) == rows(full_edges, cols_e)
+    assert inc.nodes.count() >= n_nodes_1
+
+    # third run with no new snapshot: clean no-op
+    noop = run_incremental_snapshot_pipeline(spark, store, w)
+    assert noop.buckets_processed == 0
