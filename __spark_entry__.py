@@ -379,6 +379,22 @@ def _sim_lsh_probe_topk(spark, sf_dir):
     ).orderBy("vec_id", "rank")
 
 
+def _mm_decode_stats(spark, sf_dir):
+    """REAL multimodal decode end-to-end (no codec libs needed): genuine
+    P6 PPM / PCM-16 WAV payloads (synth_real_media) parsed by the real
+    numpy/struct decoders, with exact integer stats + an md5 over the
+    decoded bytes. Oracle: an INDEPENDENT minimal parser in
+    tools/make_golden.py (direct header slicing, not the operator's
+    chunk walkers). Compressed formats (PNG/JPEG/MP4) remain a declared
+    stub — operators/multimodal.py module docstring."""
+    from json_ld_spark.operators.multimodal import (
+        media_decode_stats,
+        synth_real_media,
+    )
+
+    return media_decode_stats(synth_real_media(spark, 200)).orderBy("media_id")
+
+
 def _text_tokens(spark, sf_dir):
     from json_ld_spark.operators.textstats import token_count
 
@@ -704,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_neardup_clusters": _train_clusters,
         # multimodal plumbing (decode stubbed; plan/schema real)
         "mm_features": _mm_features,
+        "mm_decode_stats": _mm_decode_stats,
         "mm_frame_sample": _mm_frame_sample,
     }
 
@@ -925,6 +942,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, neighbor_id, cosine, rank "
             f"FROM read_parquet('{_GOLDEN}/sim_ivf.parquet') "
             "ORDER BY vec_id, rank"
+        ),
+        "mm_decode_stats": (
+            "SELECT media_id, kind, width, height, n_values, value_sum, "
+            "decoded_md5 "
+            f"FROM read_parquet('{_GOLDEN}/mm_decode_stats.parquet') "
+            "ORDER BY media_id"
         ),
         "mm_features": (
             "SELECT media_id, kind, f0, n_bytes "

@@ -60,3 +60,68 @@ def test_sample_frames_counts(spark):
     assert set(got) == set(videos)
     for mid, dur in videos.items():
         assert got[mid] == dur // 1000 + 1
+
+
+def test_ppm_decode_roundtrip():
+    import numpy as np
+
+    from json_ld_spark.operators.multimodal import _ppm_payload, decode_image
+
+    payload, w, h = _ppm_payload(6)
+    img = decode_image(payload)  # REAL path, no fake flag
+    assert img.shape == (h, w, 3)
+    assert img.dtype == np.uint8
+    # comment-tolerant header
+    commented = payload.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    assert (decode_image(commented) == img).all()
+
+
+def test_wav_decode_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from json_ld_spark.operators.multimodal import _wav_payload, decode_audio_wav
+
+    payload, _dur = _wav_payload(9)
+    samples, rate = decode_audio_wav(payload)
+    assert rate == 8000 and samples.dtype == np.dtype("<i2")
+    # extra chunk between fmt and data must be tolerated (chunk walking)
+    head, rest = payload[:12], payload[12:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    assert (decode_audio_wav(head + extra + rest)[0] == samples).all()
+
+
+def test_compressed_decode_still_declared_stub():
+    import pytest
+
+    from json_ld_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="PIL/opencv"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_media_decode_stats_matches_local(spark):
+    """End-to-end Spark decode == driver-side decode of the same payloads."""
+    import hashlib
+
+    import numpy as np
+
+    from json_ld_spark.operators.multimodal import (
+        _ppm_payload,
+        decode_image,
+        media_decode_stats,
+        synth_real_media,
+    )
+
+    out = {
+        r["media_id"]: r
+        for r in media_decode_stats(synth_real_media(spark, 20)).collect()
+    }
+    assert len(out) == 20
+    payload, w, h = _ppm_payload(2)
+    img = decode_image(payload)
+    r = out[2]
+    assert (r["width"], r["height"]) == (w, h)
+    assert r["value_sum"] == int(img.astype(np.int64).sum())
+    assert r["decoded_md5"] == hashlib.md5(img.tobytes()).hexdigest()

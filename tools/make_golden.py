@@ -806,6 +806,62 @@ def write_dedup_embedding_lsh(
     print(f"wrote dedup_embedding_lsh: {len(out)} rows")
 
 
+# ---------------------------------------------------------- mm decode stats
+
+def write_mm_decode_stats(out_dir: str, n: int = 200) -> None:
+    """INDEPENDENT mirror of operators/multimodal.media_decode_stats over
+    synth_real_media payloads: the payload bytes are rebuilt from the same
+    fixture formulas (input synthesis, not under test), but the parsing
+    here is a separate minimal implementation (direct header slicing /
+    fixed chunk offsets) — NOT the operator's tolerant chunk-walking
+    parsers — so a decode bug on either side breaks parity."""
+    import hashlib as _hashlib
+    import struct as _struct
+
+    rows = []
+    for mid in range(n):
+        if mid % 2 == 0:
+            w = 8 + (mid % 4) * 4
+            h = 8
+            pix = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    for c in range(3):
+                        pix.append((x * 3 + y * 7 + mid * 11 + c * 5) % 256)
+            payload = b"P6\n%d %d\n255\n" % (w, h) + bytes(pix)
+            # independent parse: split the three header tokens directly
+            head, raw = payload.split(b"\n255\n", 1)
+            pw, ph = (int(t) for t in head[3:].split())
+            vals = list(raw[: pw * ph * 3])
+            rows.append(
+                (mid, "image", pw, ph, pw * ph * 3, sum(vals),
+                 _hashlib.md5(raw[: pw * ph * 3]).hexdigest())
+            )
+        else:
+            nsamp = 64 + (mid % 8) * 16
+            samples = [((i * i * 13 + mid * 29) % 4001) - 2000 for i in range(nsamp)]
+            data = b"".join(_struct.pack("<h", s) for s in samples)
+            rows.append(
+                (mid, "audio", None, None, nsamp, sum(samples),
+                 _hashlib.md5(data).hexdigest())
+            )
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.int64()),
+            pa.array([r[1] for r in rows], type=pa.string()),
+            pa.array([r[2] for r in rows], type=pa.int32()),
+            pa.array([r[3] for r in rows], type=pa.int32()),
+            pa.array([r[4] for r in rows], type=pa.int64()),
+            pa.array([r[5] for r in rows], type=pa.int64()),
+            pa.array([r[6] for r in rows], type=pa.string()),
+        ],
+        names=["media_id", "kind", "width", "height", "n_values",
+               "value_sum", "decoded_md5"],
+    )
+    pq.write_table(table, os.path.join(out_dir, "mm_decode_stats.parquet"))
+    print(f"wrote mm_decode_stats: {len(rows)} rows")
+
+
 # ------------------------------------------------------------ mm features
 
 def write_mm_features(out_dir: str, n: int = 200) -> None:
@@ -863,6 +919,7 @@ def main() -> int:
     write_sim_ivf(emb, out_dir)
     write_dedup_embedding_lsh(emb, out_dir)
     write_mm_features(out_dir)
+    write_mm_decode_stats(out_dir)
     print(f"golden dir: {out_dir}")
     return 0
 
