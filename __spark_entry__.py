@@ -200,6 +200,32 @@ def _kg_framed_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity layer end-to-end (pipeline/job.py
+    run_incremental_snapshot_pipeline): the corpus splits into two
+    snapshot appends (conv-hash halves), the second half goes through
+    incremental_canonicalize — CC re-runs ONLY for blocks a new entity
+    touches, edge groups re-aggregate ONLY where an endpoint's canon
+    changed — and the final nodes table must equal the from-scratch
+    union-find golden (the SAME oracle kg_nodes uses): the driver-visible
+    proof that the O(delta + affected blocks) append path is exact."""
+    import tempfile
+
+    from json_ld_spark.pipeline.job import run_incremental_snapshot_pipeline
+    from json_ld_spark.pipeline.snapshots import ParquetSnapshotStore
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    work = tempfile.mkdtemp(prefix="kgp_inc_")
+    store = ParquetSnapshotStore(spark, f"{work}/store")
+    t = synth_transcripts(spark, sf_dir)
+    half = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(2))
+    store.append(t.where(half == 0))
+    run_incremental_snapshot_pipeline(spark, store, f"{work}/wh")
+    store.append(t.where(half == 1))
+    res = run_incremental_snapshot_pipeline(spark, store, f"{work}/wh")
+    return res.nodes.orderBy("canon_id")
+
+
 def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.entity import (
         detect_mentions, entity_dictionary, link_mentions,
@@ -679,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads": _kg_nquads,
         "kg_flatten_stats": _kg_flatten_stats,
         "kg_framed_entities": _kg_framed_entities,
+        "kg_nodes_incremental": _kg_nodes_incremental,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_pagerank": _kg_pagerank,
@@ -846,6 +873,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY conv_id, turn_idx"
         ),
         "kg_nodes": (
+            "SELECT canon_id, iri, kind, n_aliases "
+            f"FROM read_parquet('{_GOLDEN}/nodes.parquet') ORDER BY canon_id"
+        ),
+        "kg_nodes_incremental": (
             "SELECT canon_id, iri, kind, n_aliases "
             f"FROM read_parquet('{_GOLDEN}/nodes.parquet') ORDER BY canon_id"
         ),
