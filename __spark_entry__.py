@@ -209,6 +209,7 @@ def _kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed — and the final nodes table must equal the from-scratch
     union-find golden (the SAME oracle kg_nodes uses): the driver-visible
     proof that the O(delta + affected blocks) append path is exact."""
+    import shutil
     import tempfile
 
     from json_ld_spark.pipeline.job import run_incremental_snapshot_pipeline
@@ -223,7 +224,12 @@ def _kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_incremental_snapshot_pipeline(spark, store, f"{work}/wh")
     store.append(t.where(half == 1))
     res = run_incremental_snapshot_pipeline(spark, store, f"{work}/wh")
-    return res.nodes.orderBy("canon_id")
+    # materialize off the scratch state THEN delete it — every other driver
+    # query is read-only over sf_dir; this one must not leak kgp_inc_* dirs
+    # across bench/oracle sweeps
+    nodes = res.nodes.orderBy("canon_id").localCheckpoint()
+    shutil.rmtree(work, ignore_errors=True)
+    return nodes
 
 
 def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:

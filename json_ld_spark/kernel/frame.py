@@ -112,10 +112,9 @@ def _expand_frame_object(processor, active_ctx, obj: Mapping[str, Any]) -> dict:
                     raise JsonLdError(
                         ErrorCode.INVALID_FRAME, f"bad {key} pattern: {v!r}"
                     )
-            # `[]` match-none survives as an empty list
-            out[key] = expanded_vals if isinstance(value, list) else expanded_vals
-            if isinstance(value, list) and not value:
-                out[key] = []
+            # single values are listified; `[]` match-none survives as an
+            # empty list because the loop above emitted nothing
+            out[key] = expanded_vals
             continue
         if key in _FRAME_FLAG_KEYS:
             out[key] = value

@@ -419,11 +419,11 @@ def lsh_topk(
     lowest-margin bit-flip away — measured recall@5 0.18 → ≥0.5 on the
     clustered fixture at (planes=6, tables=4, flips=3, trained) while
     per-bucket size is untouched. Requires the bounded path."""
+    if n_probe_bits > 0 and max_bucket is None:
+        raise ValueError("multi-probe lsh_topk requires max_bucket")
     model = (
         train_lsh_model(embeddings, n_planes, n_tables) if trained else None
     )
-    if n_probe_bits > 0 and max_bucket is None:
-        raise ValueError("multi-probe lsh_topk requires max_bucket")
     if n_probe_bits > 0:
         buckets = lsh_probe_rows(
             embeddings, n_planes, n_tables=n_tables,

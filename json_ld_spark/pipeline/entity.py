@@ -308,11 +308,32 @@ def incremental_canonicalize(
         F.col("prev_canon_id").isNull()
         | (F.col("prev_canon_id") != F.col("canon_id"))
     )
-    changed_iris = changed.select("iri").localCheckpoint()
     stale_canons = (
-        prev_canon.join(changed_iris, "iri", "left_semi")
+        prev_canon.join(changed.select("iri"), "iri", "left_semi")
         .select("canon_id")
         .distinct()
+        .localCheckpoint()
+    )
+    # CLOSURE over stale components: if any member of a previous component
+    # changed canon, EVERY previous member's triples must re-aggregate —
+    # including members whose own canon did not move. The dissolution case
+    # makes this load-bearing: an append pushing a block past
+    # same_as_edges(max_block) dissolves the component (no star edges →
+    # every member becomes its own canon), the old representative keeps its
+    # canon id verbatim, yet all its edge groups are dropped as stale
+    # (stale_canons contains the old representative's id) — without the
+    # closure its triples would never be re-aggregated and those edges
+    # would silently vanish vs the full recompute
+    # (tests/test_pipeline_entity.py::test_incremental_block_cap_dissolution).
+    changed_iris = (
+        changed.select("iri")
+        .unionByName(
+            prev_canon.join(
+                F.broadcast(stale_canons), "canon_id", "left_semi"
+            ).select("iri")
+        )
+        .distinct()
+        .localCheckpoint()
     )
     keep_edges = prev_edges.join(
         F.broadcast(stale_canons.withColumnRenamed("canon_id", "src_canon")),

@@ -321,12 +321,13 @@ def extract_triples(
         # payload hash costs the same single shuffle (same groupBy key)
         # and always keeps the lexicographically-max payload; byte-equal
         # replays tie harmlessly.
-        # length-prefixed + 0x1f-separated: unambiguous even if a payload
-        # contains the separator byte, so distinct (text, tool) pairs
-        # cannot hash-tie by framing
+        # length-prefixed + 0x1f-separated (chr(31) spelled explicitly —
+        # a literal byte in source is invisible and has already misled one
+        # reviewer): unambiguous even if a payload contains the separator
+        # byte, so distinct (text, tool) pairs cannot hash-tie by framing
         payload_hash = F.sha2(
             F.concat_ws(
-                "",
+                chr(31),
                 F.length(F.coalesce(F.col("text"), F.lit(""))).cast("string"),
                 F.coalesce(F.col("text"), F.lit("")),
                 F.coalesce(F.col("tool"), F.lit("")),

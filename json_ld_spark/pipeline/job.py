@@ -125,7 +125,9 @@ def run_extraction_job(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     observed = obs.get
-    input_rows = {b: observed[f"b{b}"] for b in pending}
+    # sum() over zero rows observes NULL, not 0 — normalize (the
+    # all-pending-buckets-empty resume case)
+    input_rows = {b: observed[f"b{b}"] or 0 for b in pending}
 
     # ONE grouped metrics job over every written bucket directory, then a
     # driver loop that only writes the tiny atomic manifest rows — commit
@@ -200,6 +202,7 @@ def run_incremental_snapshot_pipeline(
     store,
     warehouse: str,
     contexts: Optional[ContextDict] = None,
+    fail_before_state_swap: bool = False,
 ) -> JobResult:
     """Append-incremental entity layer over a SnapshotStore: the first run
     bootstraps (full extraction + canonicalization); each later run
@@ -227,54 +230,78 @@ def run_incremental_snapshot_pipeline(
     if current is None:
         raise ValueError("snapshot store is empty")
 
-    def _p(name: str) -> str:
-        return os.path.join(state_dir, name)
+    def _meta() -> Optional[dict]:
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as fh:
+            return _json.load(fh)
+
+    meta = _meta()
+    cur_version = meta["version"] if meta else 0
+
+    def _p(name: str, version: Optional[int] = None) -> str:
+        v = cur_version if version is None else version
+        return os.path.join(state_dir, f"v{v}", name)
 
     def _commit_state(triples, entities, canon, nodes, edges, snapshot_id):
-        # two-phase: ALL tmp dirs are written while the previous state
-        # directories are still intact (the new DataFrames are lazy plans
-        # that READ the old state — replacing a dir mid-sequence would pull
-        # files out from under an in-flight plan), then all renames happen
-        # driver-side with no Spark job in between.
+        # crash-atomic versioned commit: the ENTIRE new state lands under a
+        # fresh v<N+1> directory while the previous version stays intact
+        # (the new DataFrames are lazy plans READING the old state), then
+        # ONE os.replace of state.json — the single atomic commit point —
+        # flips the pointer. A crash anywhere before the pointer swap
+        # leaves v<N> authoritative and v<N+1> an invisible orphan, so the
+        # next run re-applies the delta against the OLD state exactly once
+        # (no duplicated triples / double-counted provenance, unlike a
+        # dir-by-dir rename sequence). Old versions are pruned only after
+        # the swap, best-effort.
         import shutil
 
-        pairs = [
+        new_version = cur_version + 1
+        for name, df in (
             ("triples", triples), ("entities", entities), ("canon", canon),
             ("nodes", nodes), ("edges", edges),
-        ]
-        for name, df in pairs:
-            df.write.mode("overwrite").parquet(_p(f"_tmp_{name}"))
-        for name, _df in pairs:
-            final = _p(name)
-            if os.path.isdir(final):
-                shutil.rmtree(final)
-            os.replace(_p(f"_tmp_{name}"), final)
+        ):
+            df.write.mode("overwrite").parquet(_p(name, new_version))
         tmp_meta = meta_path + ".tmp"
         with open(tmp_meta, "w") as fh:
-            _json.dump({"snapshot_id": snapshot_id}, fh)
-        os.replace(tmp_meta, meta_path)
+            _json.dump(
+                {"snapshot_id": snapshot_id, "version": new_version}, fh
+            )
+        if fail_before_state_swap:
+            # fault injection for the crash-window test: the full new state
+            # is on disk but the pointer never flips — the old version must
+            # stay authoritative and the re-run applies the delta once
+            raise RuntimeError("fault injection before state pointer swap")
+        os.replace(tmp_meta, meta_path)  # atomic commit point
+        for entry in os.listdir(state_dir):
+            if entry.startswith("v") and entry != f"v{new_version}":
+                shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
+        return new_version
 
     run_id = uuid.uuid4().hex[:12]
-    if not os.path.exists(meta_path):
-        # bootstrap: full pipeline over the current snapshot
+    if meta is None:
+        # bootstrap: full pipeline over the current snapshot. The kernel
+        # pass is the job's most expensive stage — checkpoint it once so
+        # canonicalize / entity_dictionary / the state write don't each
+        # re-run extraction from scratch.
         triples = extract_triples(
             store.read(current), contexts, dedup_turns=True
-        )
-        canon_map, nodes, edges = canonicalize(triples, materialize=True)
+        ).localCheckpoint()
+        canon_map, nodes, edges = canonicalize(triples)
         canon = canon_map.select(
             F.col("id").alias("iri"), F.col("component").alias("canon_id")
         )
         entities = entity_dictionary(
             triples.where(F.col("error_code").isNull())
         )
-        _commit_state(triples, entities, canon, nodes, edges, current)
+        v = _commit_state(triples, entities, canon, nodes, edges, current)
         return JobResult(
-            run_id, 1, spark.read.parquet(_p("triples")),
-            spark.read.parquet(_p("nodes")), spark.read.parquet(_p("edges")),
+            run_id, 1, spark.read.parquet(_p("triples", v)),
+            spark.read.parquet(_p("nodes", v)),
+            spark.read.parquet(_p("edges", v)),
         )
 
-    with open(meta_path) as fh:
-        last = _json.load(fh)["snapshot_id"]
+    last = meta["snapshot_id"]
     if current == last:
         return JobResult(
             run_id, 0, spark.read.parquet(_p("triples")),
@@ -293,8 +320,8 @@ def run_incremental_snapshot_pipeline(
         spark.read.parquet(_p("edges")),
     )
     all_triples = old_triples.unionByName(new_triples)
-    _commit_state(all_triples, entities, canon, nodes, edges, current)
+    v = _commit_state(all_triples, entities, canon, nodes, edges, current)
     return JobResult(
-        run_id, 1, spark.read.parquet(_p("triples")),
-        spark.read.parquet(_p("nodes")), spark.read.parquet(_p("edges")),
+        run_id, 1, spark.read.parquet(_p("triples", v)),
+        spark.read.parquet(_p("nodes", v)), spark.read.parquet(_p("edges", v)),
     )

@@ -232,3 +232,112 @@ def test_incremental_noop_delta_is_identity(spark, sf_dir):
     assert rows(edges, ["src_canon", "pred", "dst_canon", "provenance"]) == rows(
         edges_prev, ["src_canon", "pred", "dst_canon", "provenance"]
     )
+
+
+def test_incremental_block_cap_dissolution(spark):
+    """The self-review catch: an append pushing a block past
+    same_as_edges(max_block) DISSOLVES the component (no star edges → every
+    member its own canon). The old representative keeps its canon id
+    verbatim, yet all its edge groups are stale — without the closure over
+    stale components its triples (and triples POINTING at it) would never
+    re-aggregate and those edges would silently vanish vs the full
+    recompute."""
+    from json_ld_spark.pipeline.entity import (
+        canonicalize,
+        entity_dictionary,
+        incremental_canonicalize,
+    )
+    from json_ld_spark.pipeline.extract import TRIPLE_SCHEMA
+
+    def t(subj, obj):
+        return ("c", 0, subj, "http://ex.org/p", "iri", obj,
+                None, None, None, None, None)
+
+    members = [f"http://ex.org/{i:02d}/item-1" for i in range(64)]
+    stable = "http://ex.org/stable-9"
+    old_rows = [t(m, stable) for m in members] + [t(stable, members[0])]
+    old = spark.createDataFrame(old_rows, TRIPLE_SCHEMA).localCheckpoint()
+    canon_map, _nodes, edges_prev = canonicalize(old)
+    prev_canon = canon_map.select(
+        F.col("id").alias("iri"), F.col("component").alias("canon_id")
+    ).localCheckpoint()
+    prev_entities = entity_dictionary(old).localCheckpoint()
+    # precondition: the 64-member block IS one component before the append
+    assert (
+        prev_canon.where(F.col("canon_id") == members[0]).count() == 64
+    )
+
+    new = spark.createDataFrame(
+        [t("http://ex.org/zz/item-1", stable)], TRIPLE_SCHEMA
+    ).localCheckpoint()
+    ents, canon_full, nodes, edges = incremental_canonicalize(
+        old, new, prev_entities, prev_canon, edges_prev.localCheckpoint()
+    )
+    full_canon, full_nodes, full_edges = canonicalize(old.unionByName(new))
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(canon_full, ["iri", "canon_id"]) == rows(
+        full_canon.select(
+            F.col("id").alias("iri"), F.col("component").alias("canon_id")
+        ),
+        ["iri", "canon_id"],
+    )
+    assert rows(edges, ["src_canon", "pred", "dst_canon", "provenance"]) == rows(
+        full_edges, ["src_canon", "pred", "dst_canon", "provenance"]
+    )
+    # dissolution really happened: 65 members, 65 distinct canons
+    assert (
+        canon_full.where(F.col("iri").contains("item-1"))
+        .select("canon_id").distinct().count() == 65
+    )
+
+
+def test_incremental_state_commit_crash_atomic(spark, sf_dir, tmp_path):
+    """Crash between state writes and the pointer swap must leave the OLD
+    version authoritative: the re-run applies the delta exactly once (no
+    duplicated triples / double-counted provenance)."""
+    import json as _json
+    import os
+
+    from json_ld_spark.pipeline.job import run_incremental_snapshot_pipeline
+    from json_ld_spark.pipeline.snapshots import ParquetSnapshotStore
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    store = ParquetSnapshotStore(spark, str(tmp_path / "atom_store"))
+    t1 = synth_transcripts(spark, sf_dir).limit(200)
+    store.append(t1.localCheckpoint())
+    w = str(tmp_path / "atom_wh")
+    boot = run_incremental_snapshot_pipeline(spark, store, w)
+    n0 = boot.triples.count()
+
+    delta = spark.createDataFrame(
+        [("conv-x", 0, "tool", "x",
+          '{"@id":"http://ex.org/x1","http://schema.org/name":"X"}')],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    store.append(delta)
+
+    # real crash window via fault injection: the run writes the ENTIRE new
+    # state (v2 dirs + tmp pointer) but dies before the atomic pointer
+    # swap — v1 stays authoritative (pruning only happens after the swap)
+    meta_path = os.path.join(w, "entity_state", "state.json")
+    with open(meta_path) as fh:
+        before = _json.load(fh)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="before state pointer swap"):
+        run_incremental_snapshot_pipeline(
+            spark, store, w, fail_before_state_swap=True
+        )
+    with open(meta_path) as fh:
+        assert _json.load(fh) == before  # pointer untouched by the crash
+
+    # the re-run must apply the delta against the OLD state exactly once
+    redo = run_incremental_snapshot_pipeline(spark, store, w)
+    assert redo.buckets_processed == 1
+    assert redo.triples.count() == n0 + 1
+    assert redo.triples.where(
+        F.col("subj") == "http://ex.org/x1"
+    ).count() == 1
