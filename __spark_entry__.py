@@ -337,6 +337,18 @@ def _dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def _dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS (the pairing half of the fingerprint
+    operator): band-equality blocking + exact bit_count(xor) Hamming
+    filter, all JVM-side. Pigeonhole-exact for hamming <= 3 with 4 bands
+    (recall 1.0 vs brute force pinned by pytest). Oracle: the identical
+    formulation in DuckDB SQL (shift/mask bands, window bucket cap,
+    xor bit_count)."""
+    from json_ld_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
 def _dedup_ngram(spark, sf_dir):
     from json_ld_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -724,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
@@ -1043,6 +1056,30 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY doc_id, bit) "
             "SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash "
             "FROM bitsum GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "dedup_simhash_pairs": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks), "
+            "th AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS th FROM tok), "
+            "bitsum AS (SELECT doc_id, bit, sum(CASE WHEN (th >> bit) & 1 = 1 "
+            "THEN 1 ELSE -1 END) AS s FROM th CROSS JOIN "
+            "(SELECT unnest(range(0, 48)) AS bit) bits GROUP BY doc_id, bit), "
+            "sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) "
+            "ELSE 0 END)::BIGINT AS simhash FROM bitsum GROUP BY doc_id), "
+            "bands AS (SELECT doc_id, simhash, band, "
+            "(simhash >> (band * 12)) & 4095 AS band_value FROM sig "
+            "CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b), "
+            "member AS (SELECT doc_id, simhash, band, band_value FROM "
+            "(SELECT *, count(*) OVER (PARTITION BY band, band_value) AS k "
+            "FROM bands) WHERE k > 1 AND k <= 256) "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "bit_count(xor(a.simhash, b.simhash))::INT AS hamming "
+            "FROM member a JOIN member b USING (band, band_value) "
+            "WHERE a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.simhash, b.simhash)) <= 3 "
+            "ORDER BY doc_a, doc_b"
         ),
         "dedup_ngram_jaccard": (
             "WITH toks0 AS (SELECT doc_id, list_filter("

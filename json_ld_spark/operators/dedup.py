@@ -414,3 +414,85 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 48,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidate blocking by fingerprint
+    bands, exact Hamming filter — the pairing half the fingerprint
+    operator (:func:`simhash`) was missing.
+
+    Pigeonhole recall guarantee: two fingerprints within Hamming distance
+    d < n_bands agree on at least one of the n_bands equal-width bands, so
+    band-equality blocking finds EVERY pair with hamming ≤ max_hamming
+    when max_hamming < n_bands (asserted). Entirely JVM-side: band
+    extraction is shift/mask, the distance is bit_count(xor) — no UDF, and
+    the same formulation runs verbatim in the DuckDB oracle.
+
+    Scale shape mirrors :func:`minhash_lsh_pairs`: the self-join runs on
+    (band, band_value) buckets, single-member buckets are pruned and
+    over-``max_bucket`` buckets dropped via a window count over the join's
+    own shuffle key (a giant band bucket is boilerplate, not a near-dup
+    cluster). Band width must keep bucket fan-in under the cap: 16-bit
+    fingerprints give 4-bit bands (16 values!) whose buckets blow past any
+    cap on a similar-document corpus — measured recall collapse at sf0.01;
+    48-bit defaults (12-bit bands, 4096 values) are exact vs brute force
+    there (pinned by test). Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    assert max_hamming < n_bands, "pigeonhole guarantee needs d < n_bands"
+    assert bits % n_bands == 0
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash(docs, bits)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"shiftright(simhash, {b * width}) & {mask}"
+                ).alias("band_value"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(
+        "doc_id", "simhash", F.explode(bands).alias("bb")
+    ).select(
+        "doc_id", "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_value").alias("band_value"),
+    )
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy("band", "band_value")
+    member = (
+        exploded.withColumn("k", F.count(F.lit(1)).over(bucket_w))
+        .where((F.col("k") > 1) & (F.col("k") <= max_bucket))
+        .drop("k")
+    )
+    left = member.select(
+        "band", "band_value",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+    )
+    right = member.select(
+        "band", "band_value",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+    )
+    return (
+        left.join(right, ["band", "band_value"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

@@ -108,3 +108,25 @@ def test_neardup_clusters_consistency(spark, docs):
     for cid, docs_in in members.items():
         assert cid == min(d for d, _ in docs_in)
         assert [d for d, k in docs_in if k] == [cid]
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole contract: band blocking at 48 bits / 4 bands finds EVERY
+    pair with hamming <= 3 on this corpus (recall 1.0 vs brute force), and
+    every emitted hamming is the exact bit_count of the fingerprint xor."""
+    import itertools
+
+    from json_ld_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in simhash_pairs(docs).collect()
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=48).collect()}
+    truth = sorted(
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    )
+    assert truth, "fixture should contain near-dup fingerprints"
+    assert got == truth
