@@ -144,7 +144,24 @@ def main() -> None:
             if line:
                 all_pairs.append(json.loads(line))
 
-    best = max(all_pairs, key=lambda p: p["raw_eff"])
+    # Honest best-pair selection: steal bursts bias in BOTH directions — a
+    # burst during the HIGH run deflates raw_eff (we naturally discard
+    # those by taking the max), but a burst during the LOW run INFLATES it
+    # (slow denominator). Taking an unfiltered max would cherry-pick
+    # contaminated-low pairs. A pair is therefore eligible for the
+    # headline only when BOTH its walls are within 25% of the best wall
+    # ever observed on that side (i.e. both runs near uncontended); the
+    # unfiltered max is still printed for transparency.
+    min_lo = min(p["lo"]["wall_s"] for p in all_pairs)
+    min_hi = min(p["hi"]["wall_s"] for p in all_pairs)
+    eligible = [
+        p
+        for p in all_pairs
+        if p["lo"]["wall_s"] <= 1.25 * min_lo
+        and p["hi"]["wall_s"] <= 1.25 * min_hi
+    ]
+    best = max(eligible, key=lambda p: p["raw_eff"])
+    unfiltered = max(all_pairs, key=lambda p: p["raw_eff"])
     raw_eff = best["raw_eff"]
     rho = best.get("rho", rho)
     norm_eff = raw_eff / rho
@@ -169,7 +186,17 @@ def main() -> None:
             "256 input files)\n"
             f"- emitted triples (incl. quarantine rows): {lo['triples']} "
             f"(identical across runs: {lo['triples'] == hi['triples']})\n\n"
-            "## Best adjacent pair\n\n"
+            "## Best adjacent pair (steal-filtered)\n\n"
+            "Eligibility: both walls within 25% of the best wall observed on\n"
+            f"that side across all runs (lo ≤ {1.25 * min_lo:.2f}s, "
+            f"hi ≤ {1.25 * min_hi:.2f}s) — a steal burst during the LOW run\n"
+            "inflates raw efficiency just as surely as one during the HIGH run\n"
+            "deflates it, so the headline pair must be near-uncontended on BOTH\n"
+            f"sides. Unfiltered max over all pairs: "
+            f"{unfiltered['raw_eff']:.3f} "
+            f"(lo {unfiltered['lo']['wall_s']}s / hi {unfiltered['hi']['wall_s']}s"
+            " — reported for transparency, not headlined when its low wall is a\n"
+            "session outlier).\n\n"
             "| master | cores | wall_s (steady, min-of-3) | triples/sec |\n|---|---|---|---|\n"
             f"| local[{args.low}] | {lo['cores']} | {lo['wall_s']} | {lo['triples_per_sec']} |\n"
             f"| local[{args.high}] | {hi['cores']} | {hi['wall_s']} | {hi['triples_per_sec']} |\n\n"
