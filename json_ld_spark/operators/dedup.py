@@ -150,18 +150,22 @@ def ngram_jaccard_pairs(
     measured 2× slower at sf0.1 — see the inline note). The DuckDB oracle
     applies the identical filter.
     """
-    # n-gram shingles via concat of sliding windows (JVM-side); per-doc
+    # n-gram shingles via shifted-array zip_with (JVM-side); per-doc
     # token cap bounds the inverted index for pathological documents.
-    # NB: sequence(1, 0) is *descending* in Spark, so docs shorter than n
-    # tokens need the explicit empty-array guard.
+    # The transform(sequence(...), i -> slice(toks, i, n)) form embeds the
+    # whole tokenizer in the lambda body and higher-order lambdas
+    # re-evaluate outer references PER ELEMENT (tokenizer once per shingle
+    # index — measured 3.3× slower on the sibling fingerprint operator);
+    # here toks evaluates n times per row, each zip_with input once.
     toks = F.slice(tokens(), 1, 200)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    L = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, L)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, k + 1, L),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = acc
     # PITFALL (measured, do not "optimize"): carrying the set size alongside
     # the explode via a two-step select
     # (select(gs) -> select(size(gs), explode(gs))) looks like it saves the

@@ -88,14 +88,22 @@ def fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:
     min-shingle hash (robust to local edits) — the rolling-hash scheme
     expressed as min over n-gram digests."""
     toks = F.slice(tokens(), 1, 500)
-    # sequence(1, 0) is descending in Spark → explicit guard for short docs
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Shifted-array zip_with shingling. The obvious
+    # transform(sequence(...), i -> slice(toks, i, n)) form embeds the
+    # WHOLE tokenizer expression in the lambda body, and higher-order
+    # lambdas re-evaluate outer references PER ELEMENT — measured 3.3×
+    # slower at sf0.1 (the tokenizer ran once per shingle index). Here
+    # toks evaluates n times per row (once per shifted copy), each
+    # zip_with input exactly once. slice with length 0 handles short docs
+    # (empty grams → null fingerprint, same as before).
+    L = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, L)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, k + 1, L),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.transform(acc, lambda g: F.md5(g))
     return docs.select(
         "doc_id",
         F.md5(F.trim(normalized_text())).alias("exact_fp"),
