@@ -208,7 +208,15 @@ def _kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches, edge groups re-aggregate ONLY where an endpoint's canon
     changed — and the final nodes table must equal the from-scratch
     union-find golden (the SAME oracle kg_nodes uses): the driver-visible
-    proof that the O(delta + affected blocks) append path is exact."""
+    proof that the O(delta + affected blocks) append path is exact.
+
+    NB for bench readers: this is an end-to-end JOB benchmark, not an
+    operator microbenchmark — it runs TWO full pipeline executions
+    (bootstrap + incremental) including crash-atomic state persistence
+    (5 tables × 2 commits), which is why it is the suite's most expensive
+    entry. The operator-level cost of the incremental path itself is the
+    point of the design: O(delta + affected blocks), pinned by the
+    equality tests."""
     import shutil
     import tempfile
 
