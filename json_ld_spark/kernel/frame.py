@@ -30,10 +30,13 @@ exercises, and the shape the W3C framing test suite's core cases use):
 Documented deviations (scope-honesty):
 - Framing operates over the DEFAULT graph of the node map (named graphs
   fall back to their flattened form; the transcript corpus emits none).
-- A frame property missing from a node with no ``@default`` is omitted
-  (the spec's ``@omitDefault=false`` would emit an ``"@null"`` marker whose
-  only purpose is removal during the compaction cleanup pass; we return
-  expanded framed output, so the marker would be pure noise).
+- ``@omitDefault`` defaults to TRUE at the API level (the spec default is
+  false): we return expanded framed output, where the spec's ``"@null"``
+  markers are pure noise until a compaction cleanup pass removes them.
+  Spec-faithful marker emission is fully implemented — set
+  ``"@omitDefault": false`` in the frame (inherited by subframes,
+  overridable per subframe) and missing frame properties yield
+  ``["@null"]`` exactly as Framing §3.1 steps 4.3.2-4.3.3 describe.
 - ``@embed`` ``@first``/``@last`` (JSON-LD 1.0 compat aliases) map to
   ``@once``/``@always``.
 """
@@ -231,12 +234,14 @@ def _embed_node(
     path: tuple[str, ...],
     inherited_embed: str,
     inherited_explicit: bool,
+    inherited_omit: bool = True,
 ) -> dict:
     node = graph[node_id]
     policy = (
         _embed_policy(frame) if "@embed" in frame else inherited_embed
     )
     explicit = bool(_flag(frame, "@explicit", inherited_explicit))
+    omit_default = bool(_flag(frame, "@omitDefault", inherited_omit))
     out: dict[str, Any] = {"@id": node_id}
     if "@type" in node:
         out["@type"] = list(node["@type"])
@@ -260,6 +265,7 @@ def _embed_node(
                         _embed_node(
                             tid, subframe, graph, embedded,
                             path + (node_id,), policy, explicit,
+                            omit_default,
                         )
                     )
             elif isinstance(v, Mapping) and "@list" in v:
@@ -279,6 +285,7 @@ def _embed_node(
                                 _embed_node(
                                     tid, subframe, graph, embedded,
                                     path + (node_id,), policy, explicit,
+                                    omit_default,
                                 )
                             )
                     else:
@@ -287,7 +294,10 @@ def _embed_node(
             else:
                 vals.append(copy.deepcopy(v))
         out[prop] = vals
-    # @default for frame properties the node lacks
+    # @default / @omitDefault for frame properties the node lacks
+    # (Framing §3.1 steps 4.3.2-4.3.3: missing property → the frame's
+    # @default, else the "@null" marker — unless @omitDefault suppresses
+    # it; the marker's removal is the compaction cleanup pass's job)
     for prop, pattern in frame.items():
         if _is_frame_keyword(prop) or prop in out:
             continue
@@ -299,6 +309,8 @@ def _embed_node(
             out[prop] = [
                 v if isinstance(v, Mapping) else {"@value": v} for v in dvs
             ]
+        elif not omit_default and pattern != []:
+            out[prop] = ["@null"]
     return out
 
 
@@ -327,7 +339,7 @@ def frame_expanded(
                 _embed_node(
                     node_id, frame, graph, embedded={node_id},
                     path=(), inherited_embed="@once",
-                    inherited_explicit=False,
+                    inherited_explicit=False, inherited_omit=True,
                 )
             )
     return results

@@ -178,3 +178,62 @@ def test_subframe_explicit_scopes_embedded_node(expanded):
     b = framed[0]["http://ex.org/knows"][0]
     assert "http://ex.org/name" in b
     assert "http://ex.org/knows" not in b  # explicit subframe pruned it
+
+
+def test_omit_default_false_emits_null_markers(expanded):
+    """Spec §3.1: with @omitDefault false, a frame property the node lacks
+    (and no @default) yields the ["@null"] marker; @default still wins;
+    match-absent ([]) patterns never emit markers."""
+    framed = frame_expanded(
+        expanded,
+        {
+            "@id": ["http://ex.org/e1"],
+            "@omitDefault": False,
+            "http://ex.org/label": [{}],
+            "http://ex.org/missing": [{}],
+            "http://ex.org/aged": [{"@default": 7}],
+            "http://ex.org/name": [],
+        },
+    )
+    e1 = framed[0]
+    assert e1["http://ex.org/label"] == [{"@value": "kickoff"}]
+    assert e1["http://ex.org/missing"] == ["@null"]
+    assert e1["http://ex.org/aged"] == [{"@value": 7}]
+    assert "http://ex.org/name" not in e1  # [] = match-absent, no marker
+
+
+def test_omit_default_inherited_and_overridable(expanded):
+    framed = frame_expanded(
+        expanded,
+        {
+            "@id": ["http://ex.org/a"],
+            "@omitDefault": False,
+            "http://ex.org/knows": [
+                {"@omitDefault": True, "http://ex.org/missing": [{}]}
+            ],
+            "http://ex.org/gone": [{}],
+        },
+    )
+    a = framed[0]
+    assert a["http://ex.org/gone"] == ["@null"]  # root: markers on
+    b = a["http://ex.org/knows"][0]
+    assert "http://ex.org/missing" not in b  # subframe overrode to omit
+
+
+def test_empty_frame_never_embed_reproduces_flatten_shape(expanded):
+    """Invariant: frame {} with @embed @never returns every node with its
+    flattened properties and bare references — the flatten node map
+    re-expressed (framing adds nothing, removes nothing)."""
+    from json_ld_spark.kernel import flatten_expanded
+
+    framed = frame_expanded(expanded, {"@embed": "@never"})
+    flat = flatten_expanded(expanded)
+    assert {n["@id"] for n in framed} == {n["@id"] for n in flat}
+    by_id = {n["@id"]: n for n in flat}
+    for node in framed:
+        src = by_id[node["@id"]]
+        assert set(node) == set(src)
+        for prop, vals in node.items():
+            if prop == "@id":
+                continue
+            assert vals == src[prop], prop
