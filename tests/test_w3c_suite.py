@@ -61,6 +61,13 @@ def test_w3c_case(case, env):
     expanded = _run(proc, document_iri, case["input"])
     if case.get("type") == "flatten":
         got = flatten_expanded(expanded)
+    elif case.get("type") == "frame":
+        from json_ld_spark.kernel import Context, expand_frame, frame_expanded
+
+        got = frame_expanded(
+            expanded,
+            expand_frame(proc, Context(base=document_iri), case["frame"]),
+        )
     else:
         got = expanded
     assert got == case["expect"], json.dumps(got, indent=1)
