@@ -250,7 +250,19 @@ def incremental_canonicalize(
     O(delta + affected blocks) and re-running the CC loop over 10^9
     entities: the only full-corpus touches left are two semi-join-filtered
     scans of the OLD triples (subj/obj membership in the changed-entity
-    set — a broadcast-sized set for typical appends).
+    set).
+
+    Join-strategy note: ``affected_keys`` (distinct block keys of the
+    delta) is bounded by the delta and safely broadcast-hinted. The
+    ``stale_canons`` / ``changed_iris`` sets are NOT hinted — they scale
+    with the append (a large backfill or a block-dissolution cascade makes
+    them O(new entities)), so a forced broadcast would collect-and-replicate
+    an unbounded set on the driver. Both are localCheckpointed, so AQE sees
+    their true materialized size and picks broadcast-hash when they are
+    actually small, degrading to a shuffled semi-/anti-join when they are
+    not (tests/test_pipeline_entity.py::test_incremental_no_forced_broadcast
+    pins that a disabled broadcast threshold yields a broadcast-free plan
+    with unchanged results).
 
     Returns ``(entities, canon_full, nodes, edges)`` where ``canon_full``
     is (iri, canon_id) for every known entity.
@@ -328,19 +340,18 @@ def incremental_canonicalize(
     changed_iris = (
         changed.select("iri")
         .unionByName(
-            prev_canon.join(
-                F.broadcast(stale_canons), "canon_id", "left_semi"
-            ).select("iri")
+            prev_canon.join(stale_canons, "canon_id", "left_semi")
+            .select("iri")
         )
         .distinct()
         .localCheckpoint()
     )
     keep_edges = prev_edges.join(
-        F.broadcast(stale_canons.withColumnRenamed("canon_id", "src_canon")),
+        stale_canons.withColumnRenamed("canon_id", "src_canon"),
         "src_canon",
         "left_anti",
     ).join(
-        F.broadcast(stale_canons.withColumnRenamed("canon_id", "dst_canon")),
+        stale_canons.withColumnRenamed("canon_id", "dst_canon"),
         "dst_canon",
         "left_anti",
     )
@@ -348,16 +359,16 @@ def incremental_canonicalize(
         (F.col("error_code").isNull()) & (F.col("obj_kind") == "iri")
     )
     touched_old = clean_old.join(
-        F.broadcast(changed_iris.withColumnRenamed("iri", "subj")),
+        changed_iris.withColumnRenamed("iri", "subj"),
         "subj",
         "left_semi",
     ).unionByName(
         clean_old.join(
-            F.broadcast(changed_iris.withColumnRenamed("iri", "obj_value")),
+            changed_iris.withColumnRenamed("iri", "obj_value"),
             "obj_value",
             "left_semi",
         ).join(
-            F.broadcast(changed_iris.withColumnRenamed("iri", "subj")),
+            changed_iris.withColumnRenamed("iri", "subj"),
             "subj",
             "left_anti",  # subj-touched rows already taken: no double count
         )

@@ -234,6 +234,70 @@ def test_incremental_noop_delta_is_identity(spark, sf_dir):
     )
 
 
+def test_incremental_no_forced_broadcast(spark, sf_dir):
+    """Scale guard (round-3 verdict #1): ``stale_canons`` / ``changed_iris``
+    scale with the append (a backfill makes them O(new entities)), so the
+    incremental path must NOT force-broadcast them. With the auto-broadcast
+    threshold off — simulating a past-threshold changed set — the edges
+    plan must contain no BroadcastHashJoin at all (the only remaining hints
+    are on the bounded ``affected_keys`` set, which sits behind the
+    canon_full localCheckpoint and never reaches this plan), while the
+    result still equals the full recompute bit-for-bit."""
+    from json_ld_spark.pipeline.entity import (
+        canonicalize,
+        entity_dictionary,
+        incremental_canonicalize,
+    )
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    old_triples = extract_triples(
+        synth_transcripts(spark, sf_dir)
+    ).localCheckpoint()
+    canon_map, _nodes, edges_prev = canonicalize(old_triples)
+    prev_canon = canon_map.select(
+        F.col("id").alias("iri"), F.col("component").alias("canon_id")
+    ).localCheckpoint()
+    prev_entities = entity_dictionary(
+        old_triples.where(F.col("error_code").isNull())
+    ).localCheckpoint()
+    edges_prev = edges_prev.localCheckpoint()
+
+    # backfill-shaped delta: a new lexicographic-min alias for MANY existing
+    # blocks at once, so changed_iris covers every member of each block
+    delta_docs = [
+        (
+        f'{{"@id":"http://ex.org/a/person-{n}",'
+        f'"http://schema.org/name":"backfill alias {n}",'
+        f'"http://schema.org/knows":{{"@id":"http://ex.org/person-{n+1}"}}}}'
+        )
+        for n in range(0, 40)
+    ]
+    t2 = spark.createDataFrame(
+        [
+            ("conv-backfill", i, "tool", "tool call", doc)
+            for i, doc in enumerate(delta_docs)
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    new_triples = extract_triples(t2).localCheckpoint()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ents, canon_full, nodes, edges = incremental_canonicalize(
+            old_triples, new_triples, prev_entities, prev_canon, edges_prev
+        )
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        edge_rows = sorted(tuple(r) for r in edges.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    _fc, _fn, full_edges = canonicalize(old_triples.unionByName(new_triples))
+    assert edge_rows == sorted(tuple(r) for r in full_edges.collect())
+
+
 def test_incremental_block_cap_dissolution(spark):
     """The self-review catch: an append pushing a block past
     same_as_edges(max_block) DISSOLVES the component (no star edges → every
