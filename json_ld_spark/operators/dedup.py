@@ -382,21 +382,37 @@ def embedding_neardup_pairs_lsh(
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame, threshold: float = 0.95, max_block: int = 4096
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
 
     Brute-force within ``label`` blocks (the provided clustering column) so
     the self-join is block-bounded; when no clustering column exists, use
     :func:`embedding_neardup_pairs_lsh` (the quantizer-blocked scale path).
+
+    ``max_block`` caps block size the same way every other member of the
+    dedup family does (minhash/simhash bucket caps, LSH/IVF shard caps): a
+    degenerate label holding a large fraction of the corpus would otherwise
+    reintroduce the O(k²) single-task blowup this blocking exists to avoid.
+    Over-cap blocks are dropped (a block that size is a bad clustering
+    column, not a dedup unit); the window count partitions on the join key,
+    so it rides the self-join's own exchange.
     """
+    from pyspark.sql import Window
+
+    blk_w = Window.partitionBy("label")
     norm = F.sqrt(F.aggregate(
         F.col("embedding"),
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     ))
-    e = embeddings.select(
-        "vec_id", "label", F.col("embedding"), norm.alias("norm")
+    e = (
+        embeddings.select(
+            "vec_id", "label", F.col("embedding"), norm.alias("norm")
+        )
+        .withColumn("blk_n", F.count(F.lit(1)).over(blk_w))
+        .where(F.col("blk_n") <= max_block)
+        .drop("blk_n")
     )
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(

@@ -53,14 +53,87 @@ def _rounded_cosine(Q: np.ndarray, B: np.ndarray) -> np.ndarray:
     return np.round((Q @ B.T) / np.outer(qn, bn), 6)
 
 
+def _topk_emit(
+    q_ids: np.ndarray,
+    b_ids: np.ndarray,
+    sims: np.ndarray,
+    k: int,
+    with_rank: bool,
+) -> pd.DataFrame:
+    """Vectorized per-query top-k emission — no per-candidate Python loop.
+
+    Order: cosine desc, neighbor_id asc, self-pairs excluded — identical to
+    the round-3 interpreted per-row loop (``np.lexsort((b_ids, -sims[i]))``
+    with a self-skip; equivalence pinned with adversarial ties in
+    tests/test_operators_bounds.py), but as whole-matrix numpy: one fused
+    multiply-add builds a total-order key, one ``argpartition`` selects the
+    k-slice, one tiny argsort ranks it (the round-3 verdict's #2 finding).
+
+    Determinism under ties: ``sims`` MUST already be rounded to the 6-dp
+    output grain (``_rounded_cosine``), so distinct values differ by
+    ~1e-6; the key subtracts ``neighbor_rank · 1e-6/(n_b+1)`` — strictly
+    sub-quantum, so (sim desc, b_id asc) becomes a single strict total
+    order per query and ``argpartition``'s boundary choice (arbitrary only
+    among EQUAL keys) can never matter. The worst-case key margin,
+    2e-6/(n_b+1), stays ≥ 5 orders of magnitude above float64 arithmetic
+    error for any plausible cap (n_b < 2^20). Self-pairs get a -inf key
+    that sorts last and is masked out.
+    """
+    n_q, n_b = sims.shape
+    b_rank = np.empty(n_b, dtype=np.float64)
+    b_rank[np.argsort(b_ids, kind="stable")] = np.arange(n_b)
+    key = sims - b_rank[None, :] * (1e-6 / (n_b + 1))
+    key[b_ids[None, :] == q_ids[:, None]] = -np.inf
+    kk = min(k, n_b)
+    if n_b > kk:
+        idx = np.argpartition(key, n_b - kk, axis=1)[:, n_b - kk:]
+    else:
+        idx = np.broadcast_to(np.arange(n_b), (n_q, n_b))
+    picked = np.take_along_axis(key, idx, axis=1)
+    order = np.argsort(-picked, axis=1, kind="stable")
+    sel = np.take_along_axis(idx, order, axis=1)
+    # -inf keys sort last per row, so valid entries are a prefix and
+    # rank = column position + 1 stays correct after masking
+    valid = np.isfinite(np.take_along_axis(picked, order, axis=1)).ravel()
+    out = {
+        "vec_id": np.repeat(q_ids, kk)[valid],
+        "neighbor_id": b_ids[sel].ravel()[valid],
+    }
+    if with_rank:
+        out["rank"] = pd.Series(
+            np.broadcast_to(
+                np.arange(1, kk + 1, dtype=np.int32), (n_q, kk)
+            ).ravel()[valid],
+            dtype="int32",
+        )
+    out["cosine"] = np.take_along_axis(sims, sel, axis=1).ravel()[valid]
+    return pd.DataFrame(out)
+
+
 def cosine_topk(
-    embeddings: DataFrame, k: int = 5, queries: DataFrame | None = None
+    embeddings: DataFrame,
+    k: int = 5,
+    queries: DataFrame | None = None,
+    max_corpus: int = 200_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector.
 
     Returns (vec_id, neighbor_id, rank, cosine). ``queries`` defaults to the
     corpus itself (all-pairs kNN); self-matches are excluded.
+
+    This is the DECLARED O(n²) verification baseline (the scale paths are
+    ``lsh_topk`` / ``ivf_topk``). ``max_corpus`` guards against calling it
+    on a corpus where the cross product is infeasible under any schedule —
+    one cheap count() against the base side, raising instead of launching a
+    10^18-pair join by accident. Pass a larger value deliberately.
     """
+    n = embeddings.count()
+    if n > max_corpus:
+        raise ValueError(
+            f"cosine_topk is the exact O(n^2) baseline; corpus has {n} "
+            f"vectors > max_corpus={max_corpus}. Use lsh_topk/ivf_topk at "
+            "scale, or raise max_corpus deliberately."
+        )
     base = embeddings.select(
         F.col("vec_id"), F.col("embedding"), _norm_col(F.col("embedding")).alias("norm")
     )
@@ -442,28 +515,6 @@ def lsh_topk(
              "cosine": pd.Series(dtype="float64")}
         )
 
-    def _topk_rows(
-        q_ids: np.ndarray, b_ids: np.ndarray, sims: np.ndarray
-    ) -> pd.DataFrame:
-        out_q, out_n, out_r, out_c = [], [], [], []
-        for i in range(len(q_ids)):
-            order = np.lexsort((b_ids, -sims[i]))
-            rank = 0
-            for j in order:
-                if b_ids[j] == q_ids[i]:
-                    continue
-                rank += 1
-                out_q.append(q_ids[i])
-                out_n.append(b_ids[j])
-                out_r.append(rank)
-                out_c.append(sims[i, j])
-                if rank >= k:
-                    break
-        return pd.DataFrame(
-            {"vec_id": out_q, "neighbor_id": out_n,
-             "rank": pd.Series(out_r, dtype="int32"), "cosine": out_c}
-        )
-
     schema = "vec_id long, neighbor_id long, rank int, cosine double"
     if max_bucket is None:
         e = embeddings.join(buckets, "vec_id").select(
@@ -475,7 +526,7 @@ def lsh_topk(
                 return _empty()
             M = _f64_matrix(pdf["embedding"])
             ids = pdf["vec_id"].to_numpy()
-            return _topk_rows(ids, ids, _rounded_cosine(M, M))
+            return _topk_emit(ids, ids, _rounded_cosine(M, M), k, True)
 
         scored = e.groupBy("bucket").applyInPandas(score_bucket, schema)
         if n_tables == 1:
@@ -500,8 +551,8 @@ def lsh_topk(
             sims = _rounded_cosine(
                 _f64_matrix(q["embedding"]), _f64_matrix(b["embedding"])
             )
-            return _topk_rows(
-                q["vec_id"].to_numpy(), b["vec_id"].to_numpy(), sims
+            return _topk_emit(
+                q["vec_id"].to_numpy(), b["vec_id"].to_numpy(), sims, k, True
             )
 
         scored = e.groupBy("bucket", "gb", "gq").applyInPandas(
@@ -752,24 +803,8 @@ def ivf_topk(
         B = _f64_matrix(b["embedding"])
         Q = _f64_matrix(q["embedding"])
         sims = _rounded_cosine(Q, B)
-        b_ids = b["vec_id"].to_numpy()
-        q_ids = q["vec_id"].to_numpy()
-        out_q, out_n, out_c = [], [], []
-        for i in range(len(q_ids)):
-            # deterministic order: cosine desc, neighbor_id asc, self excluded
-            order = np.lexsort((b_ids, -sims[i]))
-            taken = 0
-            for j in order:
-                if b_ids[j] == q_ids[i]:
-                    continue
-                out_q.append(q_ids[i])
-                out_n.append(b_ids[j])
-                out_c.append(sims[i, j])
-                taken += 1
-                if taken >= k:
-                    break
-        return pd.DataFrame(
-            {"vec_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+        return _topk_emit(
+            q["vec_id"].to_numpy(), b["vec_id"].to_numpy(), sims, k, False
         )
 
     scored = tagged.groupBy("cell", "gb", "gq").applyInPandas(

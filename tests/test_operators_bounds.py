@@ -146,3 +146,74 @@ def test_lsh_bucket_over_max_shards_dropped(spark):
     emb = _emb_df(spark, np.outer(np.linspace(1, 2, 40), u))
     out = lsh_topk(emb, k=2, n_planes=3, n_tables=1, max_bucket=4, max_shards=2)
     assert out.count() == 0
+
+
+def test_topk_emit_matches_loop_reference():
+    """The vectorized emission (round-3 verdict #2) must reproduce the old
+    interpreted loop bit-for-bit — including heavy 6-dp ties (where a naive
+    argpartition would pick an arbitrary boundary subset) and self-pair
+    exclusion in both the symmetric and the base≠query shard case."""
+    from json_ld_spark.operators.similarity import _topk_emit
+
+    def loop_reference(q_ids, b_ids, sims, k, with_rank):
+        rows = []
+        for i in range(len(q_ids)):
+            order = np.lexsort((b_ids, -sims[i]))
+            rank = 0
+            for j in order:
+                if b_ids[j] == q_ids[i]:
+                    continue
+                rank += 1
+                rec = (q_ids[i], b_ids[j]) + (
+                    (rank,) if with_rank else ()
+                ) + (sims[i, j],)
+                rows.append(rec)
+                if rank >= k:
+                    break
+        return rows
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n_b = int(rng.integers(1, 40))
+        n_q = int(rng.integers(1, 40))
+        # quantize to 2 decimals → massive ties at every k boundary
+        sims = np.round(rng.standard_normal((n_q, n_b)), 2)
+        b_ids = rng.permutation(1000)[:n_b].astype(np.int64)
+        if rng.random() < 0.5:  # symmetric case: queries are base members
+            q_ids = rng.choice(b_ids, size=n_q, replace=True)
+        else:
+            q_ids = rng.permutation(2000)[:n_q].astype(np.int64)
+        for k in (1, 3, 100):
+            for with_rank in (True, False):
+                got = _topk_emit(q_ids, b_ids, sims, k, with_rank)
+                got_rows = [tuple(r) for r in got.itertuples(index=False)]
+                assert got_rows == loop_reference(
+                    q_ids, b_ids, sims, k, with_rank
+                ), (trial, k, with_rank)
+
+
+def test_embedding_neardup_degenerate_label_capped(spark, degenerate):
+    """dedup_embedding joins the family cap discipline: a degenerate label
+    past max_block is dropped (no O(k²) single-block blowup), while blocks
+    under the cap are untouched."""
+    from json_ld_spark.operators.dedup import embedding_neardup_pairs
+
+    e = degenerate.withColumn("label", F.lit("all-one-label"))
+    assert embedding_neardup_pairs(e, 0.9, max_block=64).count() == 0
+    uncapped = embedding_neardup_pairs(e, 0.9, max_block=10**6)
+    capped_big = embedding_neardup_pairs(e, 0.9, max_block=120)
+    assert _rows(capped_big, ["vec_a", "vec_b", "cosine"]) == _rows(
+        uncapped, ["vec_a", "vec_b", "cosine"]
+    )
+    assert uncapped.count() == 120 * 119 // 2
+
+
+def test_cosine_topk_corpus_guard(spark, random_corpus):
+    """cosine_topk is the declared exact O(n²) baseline: a corpus past
+    max_corpus must raise instead of silently launching the cross join."""
+    from json_ld_spark.operators.similarity import cosine_topk
+
+    with pytest.raises(ValueError, match="max_corpus"):
+        cosine_topk(random_corpus, k=3, max_corpus=100)
+    # deliberate override still works
+    assert cosine_topk(random_corpus, k=1, max_corpus=500).count() > 0
