@@ -214,26 +214,28 @@ def compact_iri_col(col: Column, ctx: Context) -> Column:
     """Vocab-mode IRI compaction as a Catalyst CASE chain (kernel/compact.py
     is the spec-faithful oracle; tests pin equality on all emitted IRIs).
 
-    Preference order matches compact_iri(): exact term (shortest term wins)
-    → longest-prefix compact IRI via a prefix=true term (skipping candidates
-    that collide with defined terms) → vocab-relative suffix → unchanged.
+    Lockstep with the kernel by construction: every IRI the inverse context
+    knows (the finite set of term-definition IRIs) is mapped through the
+    kernel's own §6.3 term selection at plan-build time into a literal map,
+    so the CASE chain only has to mirror the kernel's FALLBACK path for
+    out-of-inverse IRIs — vocab-relative suffix first, then compact-IRI
+    candidates ordered by the WD's shortest-candidate rule, then unchanged.
     """
-    from ..kernel.compact import _coercion_compatible
+    from ..kernel.compact import compact_iri, create_inverse_context
 
-    exact: dict[str, str] = {}
-    prefixes: list[tuple[str, str]] = []
-    for term, td in sorted(
-        ctx.term_definitions.items(), key=lambda p: (len(p[0]), p[0])
-    ):
-        if td is None or td.reverse:
-            continue
-        # bare-IRI compaction carries no value object, so only terms whose
-        # coercion is compatible with "no value" are exact-match candidates —
-        # the same predicate compact_iri() applies with value=None
-        if _coercion_compatible(td, None, ctx):
-            exact.setdefault(td.iri, term)
-        if td.is_prefix:
-            prefixes.append((term, td.iri))
+    inverse = create_inverse_context(ctx)
+    # the kernel result for every IRI term selection could ever see (bare
+    # compaction, value=None) — whatever it returns (term, CURIE, suffix)
+    # is by definition the right answer for that literal
+    exact = {
+        iri: compact_iri(ctx, iri, vocab=True, inverse=inverse)
+        for iri in inverse
+    }
+    prefixes = [
+        (term, td.iri)
+        for term, td in ctx.term_definitions.items()
+        if td is not None and ":" not in term and td.is_prefix
+    ]
 
     expr = F.when(col.isNull(), F.lit(None).cast("string"))
     expr = expr.when(col.isin(*sorted(KEYWORDS)), col)
@@ -243,19 +245,21 @@ def compact_iri_col(col: Column, ctx: Context) -> Column:
             items.extend([F.lit(iri), F.lit(exact[iri])])
         m = F.create_map(*items)
         expr = expr.when(m[col].isNotNull(), m[col])
-    # longest namespace first — mirrors compact_iri()'s sort key
-    for term, ns in sorted(prefixes, key=lambda p: (-len(p[1]), p[0])):
-        candidate = F.concat(F.lit(term + ":"), F.substring(col, len(ns) + 1, 2**30))
-        collision = candidate.isin(*ctx.term_definitions.keys())
-        expr = expr.when(
-            col.startswith(ns) & (F.length(col) > len(ns)) & ~collision,
-            candidate,
-        )
     if ctx.vocab:
         suffix = F.substring(col, len(ctx.vocab) + 1, 2**30)
         collision = suffix.isin(*ctx.term_definitions.keys()) if ctx.term_definitions else F.lit(False)
         expr = expr.when(
             col.startswith(ctx.vocab) & (F.length(col) > len(ctx.vocab)) & ~collision,
             suffix,
+        )
+    # candidate length is len(term)+1-len(ns) + len(iri): ordering WHENs by
+    # that margin (ties by term) makes the first match the shortest
+    # candidate, the WD step-6 choice
+    for term, ns in sorted(prefixes, key=lambda p: (len(p[0]) + 1 - len(p[1]), p[0])):
+        candidate = F.concat(F.lit(term + ":"), F.substring(col, len(ns) + 1, 2**30))
+        collision = candidate.isin(*ctx.term_definitions.keys())
+        expr = expr.when(
+            col.startswith(ns) & (F.length(col) > len(ns)) & ~collision,
+            candidate,
         )
     return expr.otherwise(col)

@@ -6,12 +6,21 @@ expansion→compaction round-trip mandated by BASELINE.json's north_star,
 following the same WD the reference cites, reusing the reference-parity
 context model.
 
-Implementation is deliberately a pragmatic subset of the full §6.1 algorithm:
-term choice prefers (1) an exact-IRI term with compatible type/language
-mapping, (2) the longest-prefix compact IRI via a term with ``prefix=true``,
-(3) vocab-relative suffix, (4) the absolute IRI. This covers the conformance
-shapes our fixtures exercise and is the piece used by the KG pipeline to
-produce human-readable predicate labels.
+Term selection is the WD's full machinery: Inverse Context Creation (§6.2 —
+container key → type/language → term buckets, including language+direction
+combinations and ``@reverse`` entries) and IRI Compaction (§6.3 — container
+preference lists, type/language preferred values with the ``_dir``
+direction-only fallback, ``@reverse`` term preference, vocab-relative
+suffix before compact-IRI candidates, shortest-candidate CURIE choice).
+
+Property arrays compact with the WD's per-item term selection (§6.1):
+items group by the term each one selects, so a mixed-language array fans
+out across the context's language-bucket terms.
+
+Declared deviation (pinned by tests): document-relative (vocab=False)
+compaction keeps ABSOLUTE IRIs instead of making them base-relative (§6.3
+step 8) — the KG pipeline publishes absolute subject/object IRIs and the
+round-trip stays lossless without a base at the consumer.
 """
 
 from __future__ import annotations
@@ -21,17 +30,98 @@ from typing import Any, Mapping, Optional
 from .model import MISSING, Context, TermDefinition, is_keyword
 
 
-def _inverse_context(ctx: Context) -> dict[str, list[tuple[str, TermDefinition]]]:
-    """iri → [(term, definition)] sorted by (term length, term)."""
-    inv: dict[str, list[tuple[str, TermDefinition]]] = {}
-    for term, td in ctx.term_definitions.items():
-        if td is None or td.reverse:
+# ------------------------------------------------ §6.2 inverse context
+
+def create_inverse_context(
+    ctx: Context,
+) -> dict[str, dict[str, dict[str, dict[str, str]]]]:
+    """iri → container key → {"@language"|"@type"|"@any" → value → term}.
+
+    Terms are visited shortest-first (ties lexicographic) and every bucket
+    keeps the FIRST term assigned — the WD's least-term-wins rule.
+    """
+    inv: dict[str, dict[str, dict[str, dict[str, str]]]] = {}
+    default_lang = (ctx.default_language or "@none").lower()
+    for term in sorted(ctx.term_definitions, key=lambda t: (len(t), t)):
+        td = ctx.term_definitions[term]
+        if td is None:
             continue
-        inv.setdefault(td.iri, []).append((term, td))
-    for lst in inv.values():
-        lst.sort(key=lambda p: (len(p[0]), p[0]))
+        container_key = (
+            "".join(sorted(td.container)) if td.container else "@none"
+        )
+        maps = inv.setdefault(td.iri, {}).setdefault(
+            container_key, {"@language": {}, "@type": {}, "@any": {}}
+        )
+        maps["@any"].setdefault("@none", term)
+        if td.reverse:
+            maps["@type"].setdefault("@reverse", term)
+        elif td.ty == "@none":
+            maps["@language"].setdefault("@any", term)
+            maps["@type"].setdefault("@any", term)
+        elif td.ty is not None:
+            maps["@type"].setdefault(td.ty, term)
+        elif td.language is not MISSING and td.direction is not MISSING:
+            if td.language is not None and td.direction is not None:
+                key = f"{td.language.lower()}_{td.direction.lower()}"
+            elif td.language is not None:
+                key = td.language.lower()
+            elif td.direction is not None:
+                key = f"_{td.direction.lower()}"
+            else:
+                key = "@null"
+            maps["@language"].setdefault(key, term)
+        elif td.language is not MISSING:
+            key = td.language.lower() if td.language is not None else "@null"
+            maps["@language"].setdefault(key, term)
+        elif td.direction is not MISSING:
+            key = (
+                f"_{td.direction.lower()}" if td.direction is not None
+                else "@none"
+            )
+            maps["@language"].setdefault(key, term)
+        elif ctx.default_base_direction is not None:
+            key = (
+                f"{(ctx.default_language or '').lower()}"
+                f"_{ctx.default_base_direction.lower()}"
+            )
+            maps["@language"].setdefault(key, term)
+            maps["@language"].setdefault("@none", term)
+            maps["@type"].setdefault("@none", term)
+        else:
+            maps["@language"].setdefault(default_lang, term)
+            maps["@language"].setdefault("@none", term)
+            maps["@type"].setdefault("@none", term)
     return inv
 
+
+# keep the old private name importable — tests/tools may hold it
+_inverse_context = create_inverse_context
+
+
+def select_term(
+    inverse: Mapping[str, Any],
+    iri: str,
+    containers: list[str],
+    type_language: str,
+    preferred: list[str],
+) -> Optional[str]:
+    """WD Term Selection: first container with an entry, first preferred
+    value present in its type/language map wins."""
+    entry = inverse.get(iri)
+    if not entry:
+        return None
+    for container in containers:
+        maps = entry.get(container)
+        if maps is None:
+            continue
+        value_map = maps[type_language]
+        for item in preferred:
+            if item in value_map:
+                return value_map[item]
+    return None
+
+
+# ------------------------------------------------ §6.3 IRI compaction
 
 def compact_iri(
     ctx: Context,
@@ -39,89 +129,202 @@ def compact_iri(
     *,
     value: Optional[Mapping[str, Any]] = None,
     vocab: bool = False,
+    reverse: bool = False,
     inverse: Optional[dict] = None,
 ) -> Optional[str]:
-    """Compact an IRI against the context (§6.3, simplified)."""
+    """Compact an IRI against the context (§6.3)."""
     if iri is None:
         return None
-    if is_keyword(iri):
-        return iri
     if inverse is None:
-        inverse = _inverse_context(ctx)
-    if vocab:
-        # 1. exact term match with compatible coercion
-        for term, td in inverse.get(iri, []):
-            if _coercion_compatible(td, value, ctx):
-                return term
-        # 2. compact IRI via longest declared prefix
-        best: Optional[str] = None
-        for term, td in sorted(
-            ctx.term_definitions.items(), key=lambda p: (-len(p[1].iri), p[0])
-            if p[1] is not None else (0, p[0]),
-        ):
-            if td is None or not td.is_prefix:
-                continue
-            ns = td.iri
-            if iri.startswith(ns) and len(iri) > len(ns):
-                candidate = f"{term}:{iri[len(ns):]}"
-                # a candidate that collides with a defined term is unusable
-                if candidate not in ctx.term_definitions:
-                    best = candidate
-                    break
-        if best is not None:
-            return best
-        # 3. vocab-relative
-        if ctx.vocab is not None and iri.startswith(ctx.vocab) and len(iri) > len(ctx.vocab):
+        inverse = create_inverse_context(ctx)
+    if is_keyword(iri) and iri not in inverse:
+        return iri
+    if vocab and iri in inverse:
+        term = _select_for_value(ctx, iri, value, reverse, inverse)
+        if term is not None:
+            return term
+    # step 5: vocab-relative suffix (before CURIE candidates, per the WD)
+    if vocab and ctx.vocab is not None:
+        if iri.startswith(ctx.vocab) and len(iri) > len(ctx.vocab):
             suffix = iri[len(ctx.vocab):]
             if suffix not in ctx.term_definitions:
                 return suffix
-    # 4. fall back to the absolute IRI (document-relative compaction of
-    # non-vocab IRIs keeps absolute form for lossless round-trips)
+    # step 6: compact-IRI candidates — shortest candidate, ties lexicographic
+    best: Optional[str] = None
+    for term, td in ctx.term_definitions.items():
+        if td is None or ":" in term or not td.is_prefix or td.iri == iri:
+            continue
+        ns = td.iri
+        if not (iri.startswith(ns) and len(iri) > len(ns)):
+            continue
+        candidate = f"{term}:{iri[len(ns):]}"
+        if best is not None and (len(candidate), candidate) >= (len(best), best):
+            continue
+        colliding = ctx.term_definitions.get(candidate)
+        if candidate not in ctx.term_definitions or (
+            value is None and colliding is not None and colliding.iri == iri
+        ):
+            best = candidate
+    if best is not None:
+        return best
+    # step 8 deviation: keep absolute IRIs in document-relative mode (see
+    # module docstring) for lossless publishing without a consumer base.
     return iri
 
 
-def _coercion_compatible(
-    td: TermDefinition, value: Optional[Mapping[str, Any]], ctx: Context
-) -> bool:
-    if value is None:
-        return td.ty is None and td.language is MISSING and not td.container
-    if "@list" in value:
-        return td.container_contains("@list")
-    if td.container_contains("@list"):
-        return False
-    # container-map terms absorb the member the map key captures: a
-    # @language container matches any language-tagged (or plain) string
-    # value, an @index container any indexed value, an @id container any
-    # node reference — the map form re-adds the key on expansion
-    if td.container and td.container_contains("@language"):
+def _select_for_value(
+    ctx: Context,
+    iri: str,
+    value: Optional[Mapping[str, Any]],
+    reverse: bool,
+    inverse: dict,
+) -> Optional[str]:
+    """§6.3 step 4: build container preferences + type/language preferred
+    values from the value's shape, then run Term Selection."""
+    is_map = isinstance(value, Mapping)
+    containers: list[str] = []
+    type_language = "@language"
+    type_language_value = "@null"
+    if is_map and "@index" in value and "@graph" not in value:
+        containers += ["@index", "@index@set"]
+    if reverse:
+        type_language = "@type"
+        type_language_value = "@reverse"
+        containers.append("@set")
+    elif is_map and "@list" in value:
+        if "@index" not in value:
+            containers.append("@list")
+        lst = value["@list"]
+        common_language: Optional[str] = (
+            _default_language_key(ctx) if not lst else None
+        )
+        common_type: Optional[str] = None
+        for item in lst:
+            item_language, item_type = "@none", "@none"
+            if isinstance(item, Mapping) and "@value" in item:
+                if "@direction" in item:
+                    item_language = (
+                        f"{(item.get('@language') or '').lower()}"
+                        f"_{item['@direction'].lower()}"
+                    )
+                elif "@language" in item:
+                    item_language = item["@language"].lower()
+                elif "@type" in item:
+                    item_type = item["@type"]
+                else:
+                    item_language = "@null"
+            else:
+                item_type = "@id"
+            common_language = (
+                item_language if common_language is None
+                else (common_language if common_language == item_language
+                      else "@none")
+            )
+            common_type = (
+                item_type if common_type is None
+                else (common_type if common_type == item_type else "@none")
+            )
+            if common_language == "@none" and common_type == "@none":
+                break
+        common_language = common_language or "@none"
+        common_type = common_type or "@none"
+        if common_type != "@none":
+            type_language = "@type"
+            type_language_value = common_type
+        else:
+            type_language_value = common_language
+    elif is_map and "@graph" in value:
+        if "@index" in value:
+            containers += ["@graph@index", "@graph@index@set"]
+        if "@id" in value:
+            containers += ["@graph@id", "@graph@id@set"]
+        containers += ["@graph", "@graph@set", "@set"]
+        if "@index" not in value:
+            containers += ["@graph@index", "@graph@index@set"]
+        if "@id" not in value:
+            containers += ["@graph@id", "@graph@id@set"]
+        containers += ["@index", "@index@set"]
+        type_language = "@type"
+        type_language_value = "@id"
+    else:
+        if is_map and "@value" in value:
+            if "@direction" in value and "@index" not in value:
+                type_language_value = (
+                    f"{(value.get('@language') or '').lower()}"
+                    f"_{value['@direction'].lower()}"
+                )
+                containers += ["@language", "@language@set"]
+            elif "@language" in value and "@index" not in value:
+                type_language_value = value["@language"].lower()
+                containers += ["@language", "@language@set"]
+            elif "@type" in value:
+                type_language = "@type"
+                type_language_value = value["@type"]
+        else:
+            type_language = "@type"
+            type_language_value = "@id"
+            containers += ["@id", "@id@set", "@type", "@set@type"]
+        containers.append("@set")
+    containers.append("@none")
+    if not is_map or "@index" not in value:
+        containers += ["@index", "@index@set"]
+    if is_map and set(value.keys()) == {"@value"}:
+        containers += ["@language", "@language@set"]
+
+    preferred: list[str] = []
+    if type_language_value == "@reverse":
+        preferred.append("@reverse")
+    if type_language_value in ("@id", "@reverse") and is_map and "@id" in value:
+        compacted_ref = compact_iri(
+            ctx, value["@id"], vocab=True, inverse=inverse
+        )
+        ref_td = ctx.term_definitions.get(compacted_ref)
+        if ref_td is not None and ref_td.iri == value["@id"]:
+            preferred += ["@vocab", "@id", "@none"]
+        else:
+            preferred += ["@id", "@vocab", "@none"]
+    else:
+        preferred += [type_language_value, "@none"]
+        if is_map and value.get("@list") == []:
+            type_language = "@any"
+    preferred.append("@any")
+    # direction-only fallback: "en_ltr" also tries "_ltr"
+    for item in list(preferred):
+        idx = item.find("_")
+        if idx > 0:
+            preferred.append(item[idx:])
+    return select_term(inverse, iri, containers, type_language, preferred)
+
+
+def _default_language_key(ctx: Context) -> str:
+    if ctx.default_base_direction is not None:
         return (
-            "@value" in value
-            and set(value) <= {"@value", "@language"}
-            and isinstance(value["@value"], str)
+            f"{(ctx.default_language or '').lower()}"
+            f"_{ctx.default_base_direction.lower()}"
         )
-    if td.container and td.container_contains("@index"):
-        return "@index" in value
-    if "@id" in value and len(set(value.keys()) - {"@id", "@index"}) == 0:
-        return td.ty in ("@id", "@vocab")
-    ty = value.get("@type")
-    lang = value.get("@language")
-    if ty is not None:
-        return td.ty == ty
-    if lang is not None:
-        return td.language == lang or (
-            td.language is MISSING and ctx.default_language == lang
-        )
-    return td.ty is None and (td.language is MISSING or td.language is None)
+    return (ctx.default_language or "@none").lower()
+
+
+# ------------------------------------------------ §6.2 value compaction
+
+def _lang_eq(a: Optional[str], b: Optional[str]) -> bool:
+    """BCP-47 tags compare case-insensitively."""
+    if a is None or b is None:
+        return a is b
+    return a.lower() == b.lower()
 
 
 def compact_value(
     ctx: Context, td: Optional[TermDefinition], value: Mapping[str, Any],
     inverse: Optional[dict] = None,
 ) -> Any:
-    """Compact a value object to a scalar when lossless (§6.2, simplified)."""
+    """Compact a value object to a scalar when lossless (§6.2)."""
     keys = set(value.keys()) - {"@index"}
     if "@id" in value and keys == {"@id"}:
-        compacted_ref = compact_iri(ctx, value["@id"], vocab=(td is not None and td.ty == "@vocab"), inverse=inverse)
+        compacted_ref = compact_iri(
+            ctx, value["@id"],
+            vocab=(td is not None and td.ty == "@vocab"), inverse=inverse,
+        )
         if td is not None and td.ty in ("@id", "@vocab"):
             return compacted_ref
         return {"@id": compacted_ref}
@@ -130,32 +333,55 @@ def compact_value(
     v = value["@value"]
     ty = value.get("@type")
     lang = value.get("@language")
-    if td is not None and ty is not None and td.ty == ty:
+    direction = value.get("@direction")
+    if "@index" in value:
+        # a retained @index can only live on the object form (the
+        # @index-container map path strips it before recursing here)
+        return _value_object_form(ctx, value, inverse)
+    # effective language/direction the term re-adds on expansion: the term's
+    # own mapping when present, else the context default
+    eff_lang = (
+        td.language if td is not None and td.language is not MISSING
+        else ctx.default_language
+    )
+    eff_dir = (
+        td.direction if td is not None and td.direction is not MISSING
+        else ctx.default_base_direction
+    )
+    if td is not None and ty is not None and td.ty == ty and direction is None:
         return v
-    if td is not None and lang is not None and td.language == lang:
-        return v
-    if ty is None and lang is None and (
-        td is None or (td.ty is None and td.language is MISSING)
-    ):
-        if not isinstance(v, str) or ctx.default_language is None:
+    if ty is None and isinstance(v, str):
+        # a string re-acquires eff_lang/eff_dir on expansion: scalar form is
+        # lossless iff both match the value's own tags
+        if _lang_eq(lang, eff_lang) and _lang_eq(direction, eff_dir):
+            if td is None or td.ty is None:
+                return v
+    if ty is None and lang is None and direction is None and not isinstance(v, str):
+        # non-strings never carry language; scalar iff no type coercion fires
+        if td is None or td.ty is None:
             return v
-    if ty is None and lang is not None and lang == ctx.default_language and (
-        td is None or td.language is MISSING
-    ):
-        return v
-    out: dict[str, Any] = {"@value": v}
-    if ty is not None:
-        out["@type"] = compact_iri(ctx, ty, vocab=True, inverse=inverse)
-    if lang is not None:
-        out["@language"] = lang
-    if "@direction" in value:
-        out["@direction"] = value["@direction"]
+    return _value_object_form(ctx, value, inverse)
+
+
+def _value_object_form(
+    ctx: Context, value: Mapping[str, Any], inverse: Optional[dict]
+) -> dict[str, Any]:
+    out: dict[str, Any] = {"@value": value["@value"]}
+    if value.get("@type") is not None:
+        out["@type"] = compact_iri(
+            ctx, value["@type"], vocab=True, inverse=inverse
+        )
+    for k in ("@language", "@direction", "@index"):
+        if value.get(k) is not None:
+            out[k] = value[k]
     return out
 
 
+# ------------------------------------------------ §6.1 document compaction
+
 def compact_document(ctx: Context, expanded: Any) -> Any:
-    """Compact expanded JSON-LD output against ``ctx`` (§6.1, simplified)."""
-    inverse = _inverse_context(ctx)
+    """Compact expanded JSON-LD output against ``ctx`` (§6.1)."""
+    inverse = create_inverse_context(ctx)
     return _compact(ctx, None, expanded, inverse)
 
 
@@ -197,11 +423,7 @@ def _compact(ctx: Context, active_property: Optional[str], element: Any, inverse
                 return lst
             result["@list"] = lst
         elif key == "@reverse":
-            rev = {}
-            for p, items in value.items():
-                cp = compact_iri(ctx, p, vocab=True, inverse=inverse)
-                rev[cp] = _compact(ctx, cp, items, inverse)
-            result["@reverse"] = rev
+            _compact_reverse(ctx, value, inverse, result)
         elif key == "@graph":
             result["@graph"] = [
                 _compact(ctx, None, v, inverse) for v in value
@@ -209,24 +431,66 @@ def _compact(ctx: Context, active_property: Optional[str], element: Any, inverse
         elif key.startswith("@"):
             result[key] = value
         else:
-            sample = value[0] if isinstance(value, list) and value else None
-            cp = compact_iri(
-                ctx, key, vocab=True, inverse=inverse,
-                value=sample if isinstance(sample, Mapping) else None,
-            )
-            td_p = _td(ctx, cp)
-            if (
-                td_p is not None
-                and td_p.container
-                and td_p.container & frozenset(("@language", "@index", "@id"))
-                and isinstance(value, list)
-            ):
-                mapped = _compact_container_map(ctx, cp, td_p, value, inverse)
-                if mapped is not None:
-                    result[cp] = mapped
-                    continue
-            result[cp] = _compact(ctx, cp, value, inverse)
+            # §6.1 per-item term selection: each expanded item may select a
+            # different term (language/type buckets); items group by the
+            # term they selected and each group compacts under its term
+            items = value if isinstance(value, list) else [value]
+            groups: dict[str, list] = {}
+            for item in items:
+                cp = compact_iri(
+                    ctx, key, vocab=True, inverse=inverse,
+                    value=item if isinstance(item, Mapping) else None,
+                )
+                groups.setdefault(cp, []).append(item)
+            for cp, group in groups.items():
+                td_p = _td(ctx, cp)
+                if (
+                    td_p is not None
+                    and td_p.container
+                    and td_p.container & frozenset(("@language", "@index", "@id"))
+                ):
+                    mapped = _compact_container_map(ctx, cp, td_p, group, inverse)
+                    if mapped is not None:
+                        _merge_entry(result, cp, mapped)
+                        continue
+                _merge_entry(result, cp, _compact(ctx, cp, group, inverse))
     return result
+
+
+def _merge_entry(result: dict, term: str, compacted: Any) -> None:
+    """Merge a compacted group under ``term``; a rare collision (two groups
+    landing on one term) degrades to array union, which re-expands to the
+    same item set."""
+    if term not in result:
+        result[term] = compacted
+        return
+    prev = result[term]
+    prev = prev if isinstance(prev, list) else [prev]
+    add = compacted if isinstance(compacted, list) else [compacted]
+    result[term] = prev + add
+
+
+def _compact_reverse(ctx: Context, rev_value: Mapping, inverse, result: dict) -> None:
+    """§6.1 @reverse handling: each property compacts with reverse
+    preference; properties that land on a ``@reverse`` term hoist out of the
+    @reverse map onto the node itself (the term carries the inversion)."""
+    remaining: dict[str, Any] = {}
+    for p, items in sorted(rev_value.items()):
+        cp = compact_iri(ctx, p, vocab=True, reverse=True, inverse=inverse)
+        td_r = _td(ctx, cp)
+        compacted = _compact(ctx, cp, items, inverse)
+        if td_r is not None and td_r.reverse:
+            if cp in result:  # merge if the node already has this term
+                prev = result[cp]
+                prev = prev if isinstance(prev, list) else [prev]
+                add = compacted if isinstance(compacted, list) else [compacted]
+                result[cp] = prev + add
+            else:
+                result[cp] = compacted
+        else:
+            remaining[cp] = compacted
+    if remaining:
+        result["@reverse"] = remaining
 
 
 def _compact_container_map(

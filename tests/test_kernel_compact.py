@@ -136,25 +136,27 @@ def test_compact_id_map(cd, map_ctx):
         },
     }
     out = _expand_compact_expand(cd, map_ctx, body)
-    # id-map keys compact in document-relative (vocab=false) mode, where
-    # our compact_iri leaves absolute IRIs untouched — lossless, and the
-    # roundtrip above is the contract
-    assert set(out["members"].keys()) == {
-        "http://ex.org/m1", "http://ex.org/m2"
-    }
+    # id-map keys compact in document-relative (vocab=false) mode; the WD's
+    # step-6 CURIE candidates are NOT vocab-gated, so a declared prefix
+    # yields compact keys — re-expansion resolves the CURIE back (lossless,
+    # and the roundtrip above is the contract)
+    assert set(out["members"].keys()) == {"ex:m1", "ex:m2"}
     assert all(
         v == {"ex:name": n}
         for v, n in zip(
-            (out["members"]["http://ex.org/m1"],
-             out["members"]["http://ex.org/m2"]),
+            (out["members"]["ex:m1"], out["members"]["ex:m2"]),
             ("A", "B"),
         )
     )
 
 
-def test_compact_map_fallback_when_lossy(cd, map_ctx):
+def test_compact_map_heterogeneous_array_splits_losslessly(cd, map_ctx):
     """A language-container property whose expanded values carry extra
-    members must NOT be forced into map form — fallback to array."""
+    members must not be forced into the map wholesale: §6.1 per-item term
+    selection routes the map-compatible item into the language map (under
+    "@none") and the typed item to a CURIE property — roundtrip intact."""
+    import json as _json
+
     from json_ld_spark.kernel.compact import compact_document
 
     expanded = [{
@@ -165,7 +167,24 @@ def test_compact_map_fallback_when_lossy(cd, map_ctx):
         ],
     }]
     out = compact_document(map_ctx, expanded)
-    assert isinstance(out["label"], list), out
+    assert out["label"] == {"@none": "plain"}, out
+    assert out["ex:label"] == {"@value": "typed", "@type": "ex:T"}, out
+    again = expand_document(cd.processor, map_ctx, out)
+
+    def canon(e):
+        # order-insensitive within property arrays too: the split routes
+        # re-merge in selection order, which is not the original order
+        def c(x):
+            if isinstance(x, list):
+                return sorted((c(i) for i in x), key=_json.dumps)
+            if isinstance(x, dict):
+                return {k: c(v) for k, v in sorted(x.items())}
+            return x
+
+        return sorted(_json.dumps(c(n), sort_keys=True) for n in e)
+
+    # re-expansion merges both routes back into the one expanded property
+    assert canon(again) == canon(expanded), (out, again)
 
 
 def test_compact_language_map_rejects_non_string(cd, map_ctx):
@@ -184,3 +203,171 @@ def test_compact_language_map_rejects_non_string(cd, map_ctx):
 
     again = expand_document(cd.processor, map_ctx, out)
     assert again[0]["http://ex.org/label"] == [{"@value": 42}]
+
+
+# ----------------------------------------- full section 6.3 term selection
+
+SELECT_CTX = {
+    "@context": {
+        "ex": "http://ex.org/",
+        # same IRI, three terms distinguished only by language/direction:
+        # the WD's inverse-context language buckets must pick the right one
+        "labelEn": {"@id": "ex:label", "@language": "en"},
+        "labelDe": {"@id": "ex:label", "@language": "de"},
+        "labelNone": {"@id": "ex:label", "@language": None},
+        # direction bucket terms (language+direction combination keys)
+        "titleLtr": {"@id": "ex:title", "@language": "en", "@direction": "ltr"},
+        "titleRtl": {"@id": "ex:title", "@language": "en", "@direction": "rtl"},
+        # typed vs plain on one IRI
+        "whenDate": {"@id": "ex:when",
+                     "@type": "http://www.w3.org/2001/XMLSchema#date"},
+        "whenPlain": {"@id": "ex:when"},
+        # node-reference coercion
+        "ref": {"@id": "ex:ref", "@type": "@id"},
+        # reverse term
+        "knownBy": {"@reverse": "ex:knows"},
+        "knows": {"@id": "ex:knows", "@type": "@id"},
+    }
+}
+
+
+@pytest.fixture(scope="module")
+def sel_ctx(cd):
+    from json_ld_spark.kernel import Context, process_context
+
+    return process_context(
+        cd.processor, Context(base=cd.document_iri),
+        SELECT_CTX["@context"], cd.document_iri,
+    )
+
+
+def _ec(cd, ctx, expanded):
+    """compact then assert expand(compacted) == expanded (fixpoint)."""
+    import json as _json
+
+    from json_ld_spark.kernel import expand_document
+    from json_ld_spark.kernel.compact import compact_document
+
+    compacted = compact_document(ctx, expanded)
+    again = expand_document(cd.processor, ctx, compacted)
+    canon = lambda e: sorted(_json.dumps(n, sort_keys=True) for n in e)  # noqa: E731
+    assert canon(again) == canon(expanded), (compacted, expanded, again)
+    return compacted
+
+
+def test_select_language_buckets(cd, sel_ctx):
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "http://ex.org/label": [{"@value": "Hallo", "@language": "de"}],
+    }]
+    out = _ec(cd, sel_ctx, expanded)
+    assert out["labelDe"] == "Hallo"
+
+
+def test_select_null_language_bucket(cd, sel_ctx):
+    # a plain string (no language) selects the "@language": null term
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "http://ex.org/label": [{"@value": "plain"}],
+    }]
+    out = _ec(cd, sel_ctx, expanded)
+    assert out["labelNone"] == "plain"
+
+
+def test_select_direction_buckets(cd, sel_ctx):
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "http://ex.org/title": [
+            {"@value": "abc", "@language": "en", "@direction": "rtl"}
+        ],
+    }]
+    out = _ec(cd, sel_ctx, expanded)
+    assert out["titleRtl"] == "abc"
+
+
+def test_select_typed_term(cd, sel_ctx):
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "http://ex.org/when": [{
+            "@value": "2024-01-01",
+            "@type": "http://www.w3.org/2001/XMLSchema#date",
+        }],
+    }]
+    out = _ec(cd, sel_ctx, expanded)
+    assert out["whenDate"] == "2024-01-01"
+
+
+def test_select_plain_term_for_untyped(cd, sel_ctx):
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "http://ex.org/when": [{"@value": "sometime"}],
+    }]
+    out = _ec(cd, sel_ctx, expanded)
+    assert out["whenPlain"] == "sometime"
+
+
+def test_select_id_coercion_for_node_ref(cd, sel_ctx):
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "http://ex.org/ref": [{"@id": "http://ex.org/y"}],
+    }]
+    out = _ec(cd, sel_ctx, expanded)
+    assert out["ref"] == "ex:y"
+
+
+def test_bare_iri_selects_id_typed_term(cd):
+    """Vocab-mode compaction with no value prefers an @type:@id term over a
+    CURIE (WD step 4: type/language value @id when value is null)."""
+    from json_ld_spark.kernel.compact import compact_iri
+
+    ctx = cd.compiled("https://example.org/ctx/prefix")
+    assert compact_iri(ctx, "http://schema.org/knows", vocab=True) == "knows"
+
+
+def test_reverse_term_hoists_out_of_reverse_map(cd, sel_ctx):
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "@reverse": {
+            "http://ex.org/knows": [{"@id": "http://ex.org/y"}],
+        },
+    }]
+    out = _ec(cd, sel_ctx, expanded)
+    assert "@reverse" not in out
+    # the reverse term absorbs the inversion; its @type:@id-like value
+    # compaction happens under the reverse term's own definition
+    assert out["knownBy"] == {"@id": "ex:y"}
+
+
+def test_reverse_map_kept_for_unmatched_property(cd, sel_ctx):
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "@reverse": {
+            "http://ex.org/other": [{"@id": "http://ex.org/y"}],
+        },
+    }]
+    out = _ec(cd, sel_ctx, expanded)
+    assert set(out["@reverse"].keys()) == {"ex:other"}
+
+
+def test_compact_value_direction_mismatch_stays_object(cd, sel_ctx):
+    """A value missing the term's direction cannot compact to a scalar (the
+    term would re-add @direction on expansion) — fixpoint forces the
+    explicit object form."""
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "http://ex.org/title": [{"@value": "abc", "@language": "en"}],
+    }]
+    out = _ec(cd, sel_ctx, expanded)  # fixpoint is the contract
+    # whichever term was selected, the scalar form must not have been used
+    (val,) = [v for k, v in out.items() if k != "@id"]
+    assert isinstance(val, dict) and val.get("@value") == "abc"
+
+
+def test_value_index_preserved(cd, sel_ctx):
+    expanded = [{
+        "@id": "http://ex.org/x",
+        "http://ex.org/when": [{"@value": "v", "@index": "i1"}],
+    }]
+    out = _ec(cd, sel_ctx, expanded)
+    (val,) = [v for k, v in out.items() if k != "@id"]
+    assert val.get("@index") == "i1"

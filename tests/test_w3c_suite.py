@@ -58,8 +58,23 @@ def test_w3c_case(case, env):
             _run(proc, document_iri, case["input"])
         assert exc.value.code.value == case["expectError"], exc.value
         return
+    if case.get("type") == "fromRdf":
+        from json_ld_spark.kernel import triples_to_expanded
+
+        got = triples_to_expanded(case["input"])
+        assert got == case["expect"], json.dumps(got, indent=1)
+        return
     expanded = _run(proc, document_iri, case["input"])
-    if case.get("type") == "flatten":
+    if case.get("type") == "compact":
+        from json_ld_spark.kernel import Context as _Context
+        from json_ld_spark.kernel import compact_document
+
+        ctx = process_context(
+            proc, _Context(base=document_iri),
+            case["compactContext"], document_iri,
+        )
+        got = compact_document(ctx, expanded)
+    elif case.get("type") == "flatten":
         got = flatten_expanded(expanded)
     elif case.get("type") == "frame":
         from json_ld_spark.kernel import Context, expand_frame, frame_expanded
