@@ -22,14 +22,19 @@ exercises, and the shape the W3C framing test suite's core cases use):
   (nodes in sorted-id order, properties sorted).
 - **@explicit** — copy only frame-listed properties; **@default** — emitted
   for frame properties the node lacks.
+- **Named graphs** (§3.1): a frame's ``@graph`` entry recurses into the
+  named graph of each matched graph-name node (fresh embed ledger per
+  graph); id-only graph names still match when the frame asks for their
+  graph.
+- **Value patterns** (§2.3): ``{"@value": ...}`` subframes match/filter
+  value objects on ``@value``/``@type``/``@language`` with ``{}``
+  wildcards and ``[]`` match-none; only matching values are copied.
 - **Errors**: ``invalid frame`` / ``invalid @embed value`` — these two codes
   come from the *framing* spec's error registry, not the API registry the
   reference mirrors (``src/error.rs`` carries no framing codes), and are
   added to our taxonomy as documented extensions.
 
 Documented deviations (scope-honesty):
-- Framing operates over the DEFAULT graph of the node map (named graphs
-  fall back to their flattened form; the transcript corpus emits none).
 - ``@omitDefault`` defaults to TRUE at the API level (the spec default is
   false): we return expanded framed output, where the spec's ``"@null"``
   markers are pure noise until a compaction cleanup pass removes them.
@@ -122,9 +127,24 @@ def _expand_frame_object(processor, active_ctx, obj: Mapping[str, Any]) -> dict:
         if key in _FRAME_FLAG_KEYS:
             out[key] = value
             continue
-        if is_keyword(key):
-            # non-framing keywords inside a frame are out of the subset
+        if key == "@graph":
+            # named-graph recursion point (Framing §3.1): the subframe
+            # frames the named graph of each matched graph-name node
+            out["@graph"] = _expand_frame_value(processor, active_ctx, value)
             continue
+        if key in ("@value", "@language"):
+            # value-pattern members (Framing §2.3) pass through verbatim:
+            # {} wildcard / [] match-none / scalar / array of scalars
+            out[key] = value
+            continue
+        if is_keyword(key):
+            # any other keyword in a frame is outside the implemented
+            # subset — fail loudly rather than silently degrade to
+            # property-presence matching (e.g. @list patterns)
+            raise JsonLdError(
+                ErrorCode.INVALID_FRAME,
+                f"unsupported keyword in frame: {key}",
+            )
         prop = expand_iri(processor, active_ctx, key, vocab=True)
         if prop is None:
             continue
@@ -212,7 +232,10 @@ def _matches(node: Mapping, frame: Mapping, require_all: bool) -> bool:
         ) or (isinstance(pattern, Mapping) and "@default" in pattern):
             checks.append(True)  # @default always matches (spec rule)
         else:
-            checks.append(prop in node)
+            checks.append(
+                prop in node
+                and _property_pattern_matches(node[prop], pattern)
+            )
     if not checks:
         return True
     return all(checks) if require_all else any(checks)
@@ -226,6 +249,63 @@ def _is_node_ref(value: Any) -> bool:
     )
 
 
+def _is_value_pattern(subframe: Mapping) -> bool:
+    return "@value" in subframe
+
+
+def _pattern_member_matches(pattern: Any, got: Any, *, absent_ok: bool) -> bool:
+    """One member (@value/@type/@language) of a value pattern (§2.3):
+    absent → wildcard; {} → wildcard; [] → require absent; scalar/array →
+    membership."""
+    if pattern is None:
+        return True
+    pats = pattern if isinstance(pattern, list) else [pattern]
+    if any(isinstance(p, Mapping) and not p for p in pats):  # {} wildcard
+        return got is not None
+    if pats == []:
+        return got is None if absent_ok else False
+    return got in pats
+
+
+def _value_matches(value: Any, pattern: Mapping) -> bool:
+    """Framing §2.3 value-pattern matching over one expanded value object.
+    Language comparison is case-insensitive; ``@null`` in a language
+    pattern matches a language-less string (the spec's marker)."""
+    if not isinstance(value, Mapping) or "@value" not in value:
+        return False
+    if not _pattern_member_matches(
+        pattern.get("@value"), value.get("@value"), absent_ok=False
+    ):
+        return False
+    ty_pat = pattern.get("@type")
+    if ty_pat is not None and not _pattern_member_matches(
+        ty_pat, value.get("@type"), absent_ok=True
+    ):
+        return False
+    lang_pat = pattern.get("@language")
+    if lang_pat is not None:
+        pats = lang_pat if isinstance(lang_pat, list) else [lang_pat]
+        if any(isinstance(p, Mapping) and not p for p in pats):
+            return value.get("@language") is not None
+        got = value.get("@language")
+        got_key = got.lower() if isinstance(got, str) else "@null"
+        norm = [p.lower() if isinstance(p, str) else p for p in pats]
+        if pats == []:
+            return got is None
+        if got_key not in norm:
+            return False
+    return True
+
+
+def _property_pattern_matches(node_values: list, pattern: Any) -> bool:
+    """Property-level match when the subframe is a value pattern: at least
+    one of the node's values must match it."""
+    sub = _frame_subframe(pattern)
+    if not _is_value_pattern(sub):
+        return True
+    return any(_value_matches(v, sub) for v in node_values)
+
+
 def _embed_node(
     node_id: str,
     frame: Mapping,
@@ -235,6 +315,7 @@ def _embed_node(
     inherited_embed: str,
     inherited_explicit: bool,
     inherited_omit: bool = True,
+    node_map: Optional[Mapping[str, Mapping[str, Mapping]]] = None,
 ) -> dict:
     node = graph[node_id]
     policy = (
@@ -249,8 +330,14 @@ def _embed_node(
         if explicit and prop not in frame:
             continue
         subframe = _frame_subframe(frame.get(prop))
+        value_pattern = _is_value_pattern(subframe)
         vals: list[Any] = []
         for v in node[prop]:
+            if value_pattern:
+                # a value pattern selects which values are copied (§3.1)
+                if _value_matches(v, subframe):
+                    vals.append(copy.deepcopy(v))
+                continue
             if _is_node_ref(v) and v["@id"] in graph:
                 tid = v["@id"]
                 if (
@@ -265,7 +352,7 @@ def _embed_node(
                         _embed_node(
                             tid, subframe, graph, embedded,
                             path + (node_id,), policy, explicit,
-                            omit_default,
+                            omit_default, node_map,
                         )
                     )
             elif isinstance(v, Mapping) and "@list" in v:
@@ -285,7 +372,7 @@ def _embed_node(
                                 _embed_node(
                                     tid, subframe, graph, embedded,
                                     path + (node_id,), policy, explicit,
-                                    omit_default,
+                                    omit_default, node_map,
                                 )
                             )
                     else:
@@ -293,6 +380,8 @@ def _embed_node(
                 vals.append({"@list": items})
             else:
                 vals.append(copy.deepcopy(v))
+        if value_pattern and not vals:
+            continue  # no value survived the pattern — omit the property
         out[prop] = vals
     # @default / @omitDefault for frame properties the node lacks
     # (Framing §3.1 steps 4.3.2-4.3.3: missing property → the frame's
@@ -311,6 +400,28 @@ def _embed_node(
             ]
         elif not omit_default and pattern != []:
             out[prop] = ["@null"]
+    # named-graph recursion (Framing §3.1): when the frame carries @graph
+    # and this node names a graph, frame that graph's own node map with the
+    # @graph subframe — fresh embed ledger and path, scoped to the graph
+    if "@graph" in frame and node_map is not None and node_id in node_map:
+        gframe = _frame_subframe(frame["@graph"])
+        inner = node_map[node_id]
+        require_all = bool(_flag(gframe, "@requireAll", False))
+        graph_nodes: list[dict] = []
+        for gid in sorted(inner):
+            gnode = inner[gid]
+            if len(gnode) <= 1:  # id-only placeholder
+                continue
+            if _matches(gnode, gframe, require_all):
+                graph_nodes.append(
+                    _embed_node(
+                        gid, gframe, inner, embedded={gid}, path=(),
+                        inherited_embed=policy,
+                        inherited_explicit=explicit,
+                        inherited_omit=omit_default, node_map=node_map,
+                    )
+                )
+        out["@graph"] = graph_nodes
     return out
 
 
@@ -332,7 +443,11 @@ def frame_expanded(
     results: list[dict] = []
     for node_id in sorted(graph):
         node = graph[node_id]
-        if len(node) <= 1:  # id-only placeholder
+        if len(node) <= 1 and not (
+            "@graph" in frame and node_id in node_map
+        ):
+            # id-only placeholder — unless it names a graph the frame's
+            # @graph entry wants to recurse into
             continue
         if _matches(node, frame, require_all):
             results.append(
@@ -340,6 +455,7 @@ def frame_expanded(
                     node_id, frame, graph, embedded={node_id},
                     path=(), inherited_embed="@once",
                     inherited_explicit=False, inherited_omit=True,
+                    node_map=node_map,
                 )
             )
     return results

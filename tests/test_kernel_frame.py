@@ -237,3 +237,145 @@ def test_empty_frame_never_embed_reproduces_flatten_shape(expanded):
             if prop == "@id":
                 continue
             assert vals == src[prop], prop
+
+
+# ------------------------------------------- named graphs (Framing §3.1)
+
+GRAPH_DOC = [
+    {
+        "@id": "http://ex.org/g1",
+        "http://ex.org/label": [{"@value": "graph one"}],
+        "@graph": [
+            {
+                "@id": "http://ex.org/n1",
+                "@type": ["http://ex.org/Person"],
+                "http://ex.org/name": [{"@value": "In G1"}],
+            },
+            {
+                "@id": "http://ex.org/n2",
+                "@type": ["http://ex.org/Event"],
+                "http://ex.org/name": [{"@value": "Ev G1"}],
+            },
+        ],
+    },
+    {
+        "@id": "http://ex.org/top",
+        "http://ex.org/name": [{"@value": "default-graph node"}],
+    },
+]
+
+
+def test_frame_named_graph_recursion(env):
+    frame = {
+        "@id": ["http://ex.org/g1"],
+        "@graph": [{"@type": ["http://ex.org/Person"]}],
+    }
+    out = frame_expanded(GRAPH_DOC, frame)
+    assert len(out) == 1
+    g = out[0]
+    assert g["@id"] == "http://ex.org/g1"
+    # the graph node keeps its own default-graph properties
+    assert g["http://ex.org/label"] == [{"@value": "graph one"}]
+    # and @graph holds only the nodes matching the subframe
+    assert [n["@id"] for n in g["@graph"]] == ["http://ex.org/n1"]
+    assert g["@graph"][0]["http://ex.org/name"] == [{"@value": "In G1"}]
+
+
+def test_frame_named_graph_wildcard_includes_all(env):
+    frame = {"@id": ["http://ex.org/g1"], "@graph": [{}]}
+    out = frame_expanded(GRAPH_DOC, frame)
+    assert [n["@id"] for n in out[0]["@graph"]] == [
+        "http://ex.org/n1", "http://ex.org/n2"
+    ]
+
+
+def test_frame_named_graph_idonly_graph_name(env):
+    """A graph name with no default-graph properties is an id-only
+    placeholder, but a frame asking for its @graph must still match it."""
+    doc = [{
+        "@id": "http://ex.org/g2",
+        "@graph": [{
+            "@id": "http://ex.org/m",
+            "http://ex.org/name": [{"@value": "x"}],
+        }],
+    }]
+    frame = {"@id": ["http://ex.org/g2"], "@graph": [{}]}
+    out = frame_expanded(doc, frame)
+    assert len(out) == 1
+    assert [n["@id"] for n in out[0]["@graph"]] == ["http://ex.org/m"]
+
+
+def test_frame_without_graph_entry_stays_default_graph(env):
+    """No @graph in the frame → named-graph content is NOT pulled in; the
+    graph name matches on its default-graph properties only."""
+    frame = {"@id": ["http://ex.org/g1"]}
+    out = frame_expanded(GRAPH_DOC, frame)
+    assert "@graph" not in out[0]
+    assert "http://ex.org/label" in out[0]
+
+
+# ------------------------------------------- value patterns (Framing §2.3)
+
+VAL_DOC = [
+    {
+        "@id": "http://ex.org/v1",
+        "http://ex.org/label": [
+            {"@value": "Hallo", "@language": "de"},
+            {"@value": "Hello", "@language": "en"},
+            {"@value": "plain"},
+        ],
+    },
+    {
+        "@id": "http://ex.org/v2",
+        "http://ex.org/label": [
+            {"@value": "42", "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+        ],
+    },
+]
+
+
+def test_frame_value_pattern_filters_by_language(env):
+    # @value {} wildcard + exact language list
+    frame = {
+        "http://ex.org/label": [{"@value": [{}], "@language": ["de"]}],
+    }
+    out = frame_expanded(VAL_DOC, frame)
+    # v1 matches (has a de value) and keeps ONLY the matching value
+    ids = {n["@id"]: n for n in out}
+    assert ids["http://ex.org/v1"]["http://ex.org/label"] == [
+        {"@value": "Hallo", "@language": "de"}
+    ]
+    # v2 has no de value: property pattern fails; with a single-property
+    # frame nothing matches → node absent
+    assert "http://ex.org/v2" not in ids
+
+
+def test_frame_value_pattern_by_type(env):
+    frame = {
+        "http://ex.org/label": [{
+            "@value": [{}],
+            "@type": ["http://www.w3.org/2001/XMLSchema#integer"],
+        }],
+    }
+    out = frame_expanded(VAL_DOC, frame)
+    ids = {n["@id"]: n for n in out}
+    assert "http://ex.org/v2" in ids
+    assert "http://ex.org/v1" not in ids
+
+
+def test_frame_value_pattern_exact_value(env):
+    frame = {"http://ex.org/label": [{"@value": ["plain"]}]}
+    out = frame_expanded(VAL_DOC, frame)
+    ids = {n["@id"]: n for n in out}
+    assert ids["http://ex.org/v1"]["http://ex.org/label"] == [
+        {"@value": "plain"}
+    ]
+
+
+def test_frame_unsupported_keyword_raises(env):
+    proc, ctx = env
+    from json_ld_spark.kernel import expand_frame
+
+    with pytest.raises(JsonLdError) as exc:
+        expand_frame(proc, ctx, {"http://ex.org/p": {"@list": [{}]}})
+    assert exc.value.code == ErrorCode.INVALID_FRAME

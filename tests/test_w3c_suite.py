@@ -38,8 +38,13 @@ def env():
 
 
 def _run(proc, document_iri, doc):
-    ctx_value = doc.get("@context")
     active = Context(base=document_iri)
+    if isinstance(doc, list):
+        out = []
+        for item in doc:
+            out.extend(_run(proc, document_iri, item))
+        return out
+    ctx_value = doc.get("@context")
     if ctx_value is not None:
         active = process_context(proc, active, ctx_value, document_iri)
     body = {k: v for k, v in doc.items() if k != "@context"}
