@@ -1003,7 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mm_decode_stats": (
             "SELECT media_id, kind, width, height, n_values, value_sum, "
-            "decoded_md5 "
+            "decoded_md5, error_code "
             f"FROM read_parquet('{_GOLDEN}/mm_decode_stats.parquet') "
             "ORDER BY media_id"
         ),

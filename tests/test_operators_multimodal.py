@@ -92,13 +92,14 @@ def test_wav_decode_roundtrip_and_chunk_walk():
     assert (decode_audio_wav(head + extra + rest)[0] == samples).all()
 
 
-def test_compressed_decode_still_declared_stub():
+def test_codec_bound_decode_still_declared_stub():
+    """PNG is now real; JPEG/video remain the declared stub."""
     import pytest
 
     from json_ld_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError, match="PIL/opencv"):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="codecs"):
+        decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
 
 
 def test_media_decode_stats_matches_local(spark):
@@ -119,9 +120,92 @@ def test_media_decode_stats_matches_local(spark):
         for r in media_decode_stats(synth_real_media(spark, 20)).collect()
     }
     assert len(out) == 20
-    payload, w, h = _ppm_payload(2)
+    payload, w, h = _ppm_payload(0)
     img = decode_image(payload)
-    r = out[2]
+    r = out[0]
     assert (r["width"], r["height"]) == (w, h)
     assert r["value_sum"] == int(img.astype(np.int64).sum())
     assert r["decoded_md5"] == hashlib.md5(img.tobytes()).hexdigest()
+    # PNG row (mid % 3 == 2) decodes for real in the Spark kernel too
+    from json_ld_spark.operators.multimodal import _png_payload
+
+    png_payload, pw, ph = _png_payload(2)
+    png_img = decode_image(png_payload)
+    r2 = out[2]
+    assert (r2["width"], r2["height"]) == (pw, ph)
+    assert r2["value_sum"] == int(png_img.astype(np.int64).sum())
+    assert r2["decoded_md5"] == hashlib.md5(png_img.tobytes()).hexdigest()
+    assert all(row["error_code"] is None for row in out.values())
+
+
+def test_png_decode_roundtrip_all_filters():
+    """The fixture encoder cycles filter types 0-4 per scanline; decode
+    must reconstruct the exact pixel pattern for RGB and RGBA."""
+    import numpy as np
+
+    from json_ld_spark.operators.multimodal import _decode_png, _png_payload
+
+    for mid in (2, 5):  # even → RGB, odd → RGBA
+        payload, w, h = _png_payload(mid)
+        arr = _decode_png(payload)
+        ch = 4 if mid % 2 else 3
+        yy, xx, cc = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+        )
+        want = ((xx * 5 + yy * 3 + mid * 7 + cc * 11) % 256).astype(np.uint8)
+        assert arr.shape == (h, w, ch)
+        assert np.array_equal(arr, want)
+
+
+def test_png_decode_grayscale():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from json_ld_spark.operators.multimodal import (
+        _PNG_SIG, _decode_png, _png_chunk,
+    )
+
+    g = (np.arange(64, dtype=np.uint8) * 3 % 251).reshape(8, 8)
+    lines = b"".join(bytes([0]) + g[y].tobytes() for y in range(8))
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(_decode_png(payload), g)
+
+
+def test_media_decode_stats_quarantines_corrupt_payloads(spark):
+    """One truncated payload must yield ONE error row, not a failed job
+    (per-row quarantine, same philosophy as extraction error rows)."""
+    from pyspark.sql import Row
+
+    from json_ld_spark.operators.multimodal import (
+        _png_payload, _wav_payload, media_decode_stats,
+    )
+
+    good_png, _, _ = _png_payload(2)
+    good_wav, _ = _wav_payload(1)
+    rows = [
+        Row(media_id=0, kind="image", payload=bytes(good_png)),
+        Row(media_id=1, kind="image", payload=bytes(good_png[:30])),  # truncated
+        Row(media_id=2, kind="audio", payload=bytes(good_wav)),
+        Row(media_id=3, kind="audio", payload=b"RIFFxxxxWAVE"),  # no chunks
+        Row(media_id=4, kind="image", payload=b"\xff\xd8jpeg"),  # stubbed codec
+    ]
+    out = {
+        r["media_id"]: r
+        for r in media_decode_stats(spark.createDataFrame(rows)).collect()
+    }
+    assert out[0]["error_code"] is None and out[0]["n_values"] is not None
+    assert out[2]["error_code"] is None and out[2]["n_values"] is not None
+    assert out[1]["error_code"] == "ValueError"
+    assert out[3]["error_code"] == "ValueError"
+    assert out[4]["error_code"] == "NotImplementedError"
+    assert all(
+        out[i]["n_values"] is None and out[i]["decoded_md5"] is None
+        for i in (1, 3, 4)
+    )

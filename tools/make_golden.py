@@ -817,10 +817,66 @@ def write_mm_decode_stats(out_dir: str, n: int = 200) -> None:
     parsers — so a decode bug on either side breaks parity."""
     import hashlib as _hashlib
     import struct as _struct
+    import zlib as _zlib
+
+    # the REAL payload bytes come from the fixture encoder (input
+    # synthesis, shared by definition); the PARSING below is independent:
+    # pure-python per-byte loops straight off the PNG/PPM/WAV specs, no
+    # numpy, no reuse of the operator's vectorized reconstruction
+    from json_ld_spark.operators.multimodal import _png_payload
+
+    def _parse_png_independent(payload: bytes):
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, ihdr, idat = 8, None, b""
+        while pos + 8 <= len(payload):
+            ln = int.from_bytes(payload[pos:pos + 4], "big")
+            ct = payload[pos + 4:pos + 8]
+            if ct == b"IHDR":
+                ihdr = payload[pos + 8:pos + 8 + ln]
+            elif ct == b"IDAT":
+                idat += payload[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+        w, h, depth, color = _struct.unpack(">IIBB", ihdr[:10])
+        ch = {2: 3, 6: 4}[color]
+        assert depth == 8
+        raw = _zlib.decompress(idat)
+        stride = w * ch
+        out = bytearray()
+        prev = bytes(stride)
+        p = 0
+        for _y in range(h):
+            f = raw[p]
+            line = raw[p + 1:p + 1 + stride]
+            p += 1 + stride
+            rec = bytearray(stride)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 0:
+                    v = line[i]
+                elif f == 1:
+                    v = line[i] + a
+                elif f == 2:
+                    v = line[i] + b
+                elif f == 3:
+                    v = line[i] + (a + b) // 2
+                else:
+                    q = a + b - c
+                    pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    v = line[i] + pred
+                rec[i] = v & 0xFF
+            out += rec
+            prev = bytes(rec)
+        return w, h, bytes(out)
 
     rows = []
     for mid in range(n):
-        if mid % 2 == 0:
+        sel = mid % 3
+        if sel == 0:
             w = 8 + (mid % 4) * 4
             h = 8
             pix = bytearray()
@@ -837,13 +893,20 @@ def write_mm_decode_stats(out_dir: str, n: int = 200) -> None:
                 (mid, "image", pw, ph, pw * ph * 3, sum(vals),
                  _hashlib.md5(raw[: pw * ph * 3]).hexdigest())
             )
-        else:
+        elif sel == 1:
             nsamp = 64 + (mid % 8) * 16
             samples = [((i * i * 13 + mid * 29) % 4001) - 2000 for i in range(nsamp)]
             data = b"".join(_struct.pack("<h", s) for s in samples)
             rows.append(
                 (mid, "audio", None, None, nsamp, sum(samples),
                  _hashlib.md5(data).hexdigest())
+            )
+        else:
+            payload, _w, _h = _png_payload(mid)
+            pw, ph, decoded = _parse_png_independent(payload)
+            rows.append(
+                (mid, "image", pw, ph, len(decoded), sum(decoded),
+                 _hashlib.md5(decoded).hexdigest())
             )
     table = pa.Table.from_arrays(
         [
@@ -854,9 +917,10 @@ def write_mm_decode_stats(out_dir: str, n: int = 200) -> None:
             pa.array([r[4] for r in rows], type=pa.int64()),
             pa.array([r[5] for r in rows], type=pa.int64()),
             pa.array([r[6] for r in rows], type=pa.string()),
+            pa.array([None] * len(rows), type=pa.string()),
         ],
         names=["media_id", "kind", "width", "height", "n_values",
-               "value_sum", "decoded_md5"],
+               "value_sum", "decoded_md5", "error_code"],
     )
     pq.write_table(table, os.path.join(out_dir, "mm_decode_stats.parquet"))
     print(f"wrote mm_decode_stats: {len(rows)} rows")
