@@ -80,12 +80,22 @@ def main() -> None:
             print(f"# FAIL {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # end-to-end JOB benchmarks (multiple full pipeline executions + state
+    # commits inside one query) reported separately from single-operator
+    # timings, so weather drift in the job bench can't mask (or fake)
+    # operator regressions in suite-total comparisons
+    job_queries = {"kg_nodes_incremental"}
+    job_total = round(
+        sum(t for q, t in timings.items() if q in job_queries and t >= 0), 3
+    )
     kg_t = timings.get("kg_triples", -1.0)
     kg_n = counts.get("kg_triples", 0)
     out = {
         "metric": "suite_total_runtime",
         "value": total,
         "unit": "sec",
+        "suite_operator_runtime": round(total - job_total, 3),
+        "suite_job_runtime": job_total,
         "queries": timings,
         "sf": sf_dir,
         "cpus": cpus,

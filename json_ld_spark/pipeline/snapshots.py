@@ -67,6 +67,23 @@ class IcebergSnapshotStore:
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(self.table)
 
+    def read_delta(self, from_id: int, to_id: Optional[int] = None) -> DataFrame:
+        """Rows ADDED strictly after snapshot ``from_id`` up to ``to_id``
+        (default: current), via Iceberg's public incremental-read options
+        (``start-snapshot-id`` exclusive / ``end-snapshot-id`` inclusive) —
+        the same contract ParquetSnapshotStore.read_delta implements with
+        delta manifests, so ``run_incremental_snapshot_pipeline`` works
+        over either store."""
+        reader = self.spark.read.format("iceberg").option(
+            "start-snapshot-id", str(from_id)
+        )
+        if to_id is None:
+            to_id = self.current_snapshot_id()
+            if to_id is None:
+                raise ValueError("store has no snapshots")
+        reader = reader.option("end-snapshot-id", str(to_id))
+        return reader.load(self.table)
+
     def append(
         self, df: DataFrame, tag: Optional[str] = None
     ) -> Optional[int]:

@@ -203,3 +203,36 @@ def run_stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_transcripts_to_snapshots(
+    spark: SparkSession,
+    source_dir: str,
+    store,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Land RAW transcript micro-batches as atomic snapshot commits — the
+    ingest half of the continuously-maintained KG: each drained batch
+    becomes one tagged SnapshotStore append (tag = micro-batch id, so a
+    crash-replayed batch is a no-op), and
+    ``pipeline/job.run_incremental_snapshot_pipeline`` then folds the
+    accumulated snapshot deltas into nodes/edges in O(delta + affected
+    blocks). Stream and consolidation never share mutable state: the
+    snapshot id sequence is the only coupling, which is what makes the
+    composition exactly-once end-to-end."""
+    transcripts = stream_transcript_source(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def commit(batch_df, batch_id: int) -> None:
+        store.append(batch_df, tag=f"transcripts-batch-{batch_id}")
+
+    writer = (
+        transcripts.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -116,3 +116,72 @@ def test_stream_replay_is_idempotent(spark, sf_dir, stream_dirs):
     n2 = spark.read.parquet(stream_dirs["sink"]).count()
     want_extra = extract_triples(extra, dedup=False).count()
     assert n2 == n1 + want_extra
+
+
+def test_stream_feeds_incremental_entity_pipeline(spark, sf_dir, tmp_path):
+    """Continuously-maintained KG: streaming ingest lands transcript
+    micro-batches as snapshot commits; the incremental entity pipeline
+    folds each drained delta in. After two micro-batches + two pipeline
+    runs, nodes/edges must equal a from-scratch batch recompute over the
+    whole store."""
+    from json_ld_spark.pipeline.entity import canonicalize
+    from json_ld_spark.pipeline.job import run_incremental_snapshot_pipeline
+    from json_ld_spark.pipeline.snapshots import ParquetSnapshotStore
+    from json_ld_spark.streaming.ingest import (
+        run_stream_transcripts_to_snapshots,
+    )
+
+    source = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(source, exist_ok=True)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "store"))
+    warehouse = str(tmp_path / "wh")
+
+    def drain():
+        q = run_stream_transcripts_to_snapshots(
+            spark, source, store, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+
+    # micro-batch 1: the base corpus → bootstrap run
+    synth_transcripts(spark, sf_dir).coalesce(1).write.mode("append").parquet(
+        source
+    )
+    drain()
+    boot = run_incremental_snapshot_pipeline(spark, store, warehouse)
+    assert boot.buckets_processed == 1
+    n_boot = boot.nodes.count()
+
+    # micro-batch 2: a delta linking an existing entity to a new one
+    delta = spark.createDataFrame(
+        [
+            (
+                "conv-stream", 0, "tool", "tool call",
+                '{"@id":"http://ex.org/a/person-3",'
+                '"http://schema.org/name":"streamed alias",'
+                '"http://schema.org/knows":{"@id":"http://ex.org/person-9"}}',
+            )
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    delta.coalesce(1).write.mode("append").parquet(source)
+    drain()
+    inc = run_incremental_snapshot_pipeline(spark, store, warehouse)
+    assert inc.buckets_processed == 1
+
+    full_triples = extract_triples(store.read(), dedup_turns=True)
+    _, full_nodes, full_edges = canonicalize(full_triples, materialize=True)
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    cols_n = ["canon_id", "iri", "kind", "n_aliases"]
+    cols_e = ["src_canon", "pred", "dst_canon", "provenance"]
+    assert rows(inc.nodes, cols_n) == rows(full_nodes, cols_n)
+    assert rows(inc.edges, cols_e) == rows(full_edges, cols_e)
+    assert inc.nodes.count() >= n_boot
+
+    # a re-drain with no new files commits nothing: pipeline is a no-op
+    drain()
+    noop = run_incremental_snapshot_pipeline(spark, store, warehouse)
+    assert noop.buckets_processed == 0

@@ -160,8 +160,17 @@ def main() -> None:
         if p["lo"]["wall_s"] <= 1.25 * min_lo
         and p["hi"]["wall_s"] <= 1.25 * min_hi
     ]
-    best = max(eligible, key=lambda p: p["raw_eff"])
     unfiltered = max(all_pairs, key=lambda p: p["raw_eff"])
+    eligible_fallback = not eligible
+    if eligible_fallback:
+        # the best lo and best hi walls can come from different contention
+        # windows, leaving no pair near-uncontended on BOTH sides — fall
+        # back to the unfiltered max rather than crash, and say so in the
+        # ledger (the filter exists to avoid cherry-picking, so the
+        # fallback is disclosed, not hidden)
+        best = unfiltered
+    else:
+        best = max(eligible, key=lambda p: p["raw_eff"])
     raw_eff = best["raw_eff"]
     rho = best.get("rho", rho)
     norm_eff = raw_eff / rho
@@ -187,7 +196,14 @@ def main() -> None:
             f"- emitted triples (incl. quarantine rows): {lo['triples']} "
             f"(identical across runs: {lo['triples'] == hi['triples']})\n\n"
             "## Best adjacent pair (steal-filtered)\n\n"
-            "Eligibility: both walls within 25% of the best wall observed on\n"
+            + (
+                "**NOTE: no pair was near-uncontended on both sides this "
+                "session (best lo and best hi walls come from different "
+                "contention windows) — the headline below is the UNFILTERED "
+                "max, disclosed as such.**\n\n"
+                if eligible_fallback else ""
+            )
+            + "Eligibility: both walls within 25% of the best wall observed on\n"
             f"that side across all runs (lo ≤ {1.25 * min_lo:.2f}s, "
             f"hi ≤ {1.25 * min_hi:.2f}s) — a steal burst during the LOW run\n"
             "inflates raw efficiency just as surely as one during the HIGH run\n"
