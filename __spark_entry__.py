@@ -200,6 +200,24 @@ def _kg_framed_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _kg_compact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full section-6.1 compaction end-to-end (kernel/compact.py): every
+    JSON-bearing turn document expands against its own @context, compacts
+    back via the inverse-context term-selection machinery (container maps,
+    language/direction buckets, @reverse terms), and re-expands to verify
+    the expand->compact->expand fixpoint in-operator (roundtrip_ok). One
+    row per document: key-class counts + an md5 fingerprint of the
+    canonical compacted JSON. Oracle: Spark-free kernel-loop golden
+    (tools/make_golden.py write_compacted_docs)."""
+    from json_ld_spark.pipeline.extract import compact_turn_docs
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    return compact_turn_docs(synth_transcripts(spark, sf_dir)).orderBy(
+        "conv_id", "turn_idx", "doc_idx"
+    )
+
+
 def _kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental entity layer end-to-end (pipeline/job.py
     run_incremental_snapshot_pipeline): the corpus splits into two
@@ -731,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads": _kg_nquads,
         "kg_flatten_stats": _kg_flatten_stats,
         "kg_framed_entities": _kg_framed_entities,
+        "kg_compact_docs": _kg_compact_docs,
         "kg_nodes_incremental": _kg_nodes_incremental,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
@@ -926,6 +945,12 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(out_degree, 0)::BIGINT AS out_degree, "
             "coalesce(in_degree, 0)::BIGINT AS in_degree "
             "FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node"
+        ),
+        "kg_compact_docs": (
+            "SELECT conv_id, turn_idx, doc_idx, n_keys, n_term_keys, "
+            "n_iri_keys, roundtrip_ok, compact_fp "
+            f"FROM read_parquet('{_GOLDEN}/compacted_docs.parquet') "
+            "ORDER BY conv_id, turn_idx, doc_idx"
         ),
         "kg_framed_entities": (
             "SELECT conv_id, turn_idx, doc_idx, root_id, n_props, "

@@ -495,3 +495,132 @@ def frame_turn_entities(
             )
 
     return candidates.mapInPandas(framed_batches, schema=FRAMED_SCHEMA)
+
+
+COMPACTED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("doc_idx", IntegerType()),
+        StructField("n_keys", IntegerType()),
+        StructField("n_term_keys", IntegerType()),
+        StructField("n_iri_keys", IntegerType()),
+        StructField("roundtrip_ok", IntegerType()),
+        StructField("compact_fp", StringType()),
+    ]
+)
+
+
+def _compacted_doc_stats(element) -> tuple[int, int, int]:
+    """(non-keyword keys, short-term keys, CURIE/IRI keys) across every
+    mapping in the compacted structure. A compacted key containing ``:``
+    is a CURIE or absolute IRI; otherwise the inverse context selected a
+    short term — the ratio is the observable effect of §6.2/§6.3 term
+    selection, pinned bit-exactly by the golden."""
+    total = terms = iris = 0
+    stack = [element]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, list):
+            stack.extend(node)
+        elif isinstance(node, Mapping):
+            for k, v in node.items():
+                stack.append(v)
+                if k.startswith("@"):
+                    continue
+                total += 1
+                if ":" in k:
+                    iris += 1
+                else:
+                    terms += 1
+    return total, terms, iris
+
+
+def compact_turn_docs(
+    transcripts: DataFrame,
+    contexts: Optional[ContextDict] = None,
+) -> DataFrame:
+    """Full §6.1 compaction applied per JSON-bearing turn document: each
+    document expands against its own ``@context``, compacts back against
+    the SAME context (inverse-context term selection, container maps,
+    ``@reverse`` terms — kernel/compact.py), and re-expands to verify the
+    expand→compact→expand fixpoint *inside the operator*
+    (``roundtrip_ok``). Each document emits one row with key-class counts
+    plus an md5 fingerprint of the canonical compacted JSON — a bit-exact
+    pin of the whole compacted structure for the golden oracle.
+
+    Same scale shape as extract_triples / frame_turn_entities: JVM-side
+    candidate filter, 4-column pruning, map-only mapInPandas, per-worker
+    context-compile cache; failing docs are skipped (quarantine is
+    extract_triples' job).
+    """
+    import hashlib
+
+    from ..kernel import compact_document
+
+    contexts = contexts or ContextDict()
+    bc = transcripts.sparkSession.sparkContext.broadcast(
+        (contexts.raw, contexts.document_iri)
+    )
+    candidates = transcripts.select(
+        "conv_id", "turn_idx", "text", "tool"
+    ).where(_candidate_filter())
+
+    def compacted_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raw_contexts, document_iri = bc.value
+        expander = TurnExpander(raw_contexts, document_iri)
+
+        def compact_doc(raw: str):
+            try:
+                doc = json.loads(raw)
+            except (json.JSONDecodeError, ValueError):
+                return None
+            try:
+                ctx_value = (
+                    doc.get("@context") if isinstance(doc, Mapping) else None
+                )
+                if ctx_value is not None:
+                    active = expander._active_context(ctx_value)
+                    body = {k: v for k, v in doc.items() if k != "@context"}
+                else:
+                    active = Context(base=document_iri)
+                    body = doc
+                expanded = expand_document(expander.processor, active, body)
+                compacted = compact_document(active, expanded)
+                reexpanded = expand_document(
+                    expander.processor, active, compacted
+                )
+                return compacted, 1 if reexpanded == expanded else 0
+            except JsonLdError:
+                return None
+
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
+            ):
+                for doc_idx, raw in enumerate(iter_turn_documents(text, tool)):
+                    out = compact_doc(raw)
+                    if out is None:
+                        continue
+                    compacted, rt = out
+                    n_keys, n_terms, n_iris = _compacted_doc_stats(compacted)
+                    fp = hashlib.md5(
+                        json.dumps(
+                            compacted, sort_keys=True, separators=(",", ":")
+                        ).encode()
+                    ).hexdigest()
+                    rows.append(
+                        (conv_id, int(turn_idx), doc_idx,
+                         n_keys, n_terms, n_iris, rt, fp)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "doc_idx",
+                    "n_keys", "n_term_keys", "n_iri_keys",
+                    "roundtrip_ok", "compact_fp",
+                ],
+            )
+
+    return candidates.mapInPandas(compacted_batches, schema=COMPACTED_SCHEMA)

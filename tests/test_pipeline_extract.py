@@ -140,3 +140,60 @@ def test_dedup_turns_deterministic_survivor(spark):
     )
     got = extract_triples(dup, dedup_turns=True).collect()
     assert len(got) == 1 and got[0]["subj"] == "http://ex.org/a"
+
+
+def test_compact_turn_docs_fixpoint_and_kernel_parity(spark, transcripts):
+    """compact_turn_docs: every fixture doc must satisfy the
+    expand→compact→expand fixpoint in-operator, and the whole stats row
+    set must equal a driver-side kernel recompute (no Spark in the
+    oracle path)."""
+    import hashlib
+
+    from json_ld_spark.kernel import (
+        Context,
+        JsonLdError,
+        compact_document,
+        expand_document,
+    )
+    from json_ld_spark.pipeline.extract import (
+        _compacted_doc_stats,
+        compact_turn_docs,
+        iter_turn_documents,
+    )
+
+    got = {tuple(r) for r in compact_turn_docs(transcripts).collect()}
+    assert got, "no compacted docs emitted"
+    assert all(r[6] == 1 for r in got), "a fixture doc failed the fixpoint"
+
+    ctx = ContextDict()
+    expander = TurnExpander(ctx.raw, ctx.document_iri)
+    expected = set()
+    for row in transcripts.select("conv_id", "turn_idx", "text", "tool").collect():
+        for doc_idx, raw in enumerate(iter_turn_documents(row.text, row.tool)):
+            try:
+                doc = json.loads(raw)
+            except ValueError:
+                continue
+            try:
+                ctx_value = doc.get("@context") if isinstance(doc, dict) else None
+                if ctx_value is not None:
+                    active = expander._active_context(ctx_value)
+                    body = {k: v for k, v in doc.items() if k != "@context"}
+                else:
+                    active = Context(base=ctx.document_iri)
+                    body = doc
+                expanded = expand_document(expander.processor, active, body)
+                compacted = compact_document(active, expanded)
+                rt = 1 if expand_document(
+                    expander.processor, active, compacted
+                ) == expanded else 0
+            except JsonLdError:
+                continue
+            n_keys, n_terms, n_iris = _compacted_doc_stats(compacted)
+            fp = hashlib.md5(
+                json.dumps(compacted, sort_keys=True, separators=(",", ":")).encode()
+            ).hexdigest()
+            expected.add(
+                (row.conv_id, row.turn_idx, doc_idx, n_keys, n_terms, n_iris, rt, fp)
+            )
+    assert got == expected

@@ -247,6 +247,86 @@ def write_flatten_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
     print(f"wrote flatten_stats: {len(rows)} rows")
 
 
+# ------------------------------------------------------------ compacted docs
+
+def write_compacted_docs(transcripts: pd.DataFrame, out_dir: str) -> None:
+    """Kernel-only mirror of pipeline/extract.compact_turn_docs (no caches,
+    no Spark): per candidate turn per document, expand -> full-section-6.1
+    compact -> re-expand; emit key-class counts, the fixpoint flag, and the
+    md5 fingerprint of the canonical compacted JSON."""
+    from json_ld_spark.kernel import compact_document
+    from json_ld_spark.pipeline.extract import _compacted_doc_stats
+
+    cd = ContextDict()
+    processor = cd.processor
+    document_iri = cd.document_iri
+
+    def compact_doc(raw: str):
+        try:
+            doc = json.loads(raw)
+        except (json.JSONDecodeError, ValueError):
+            return None
+        try:
+            ctx_value = doc.get("@context") if isinstance(doc, Mapping) else None
+            if ctx_value is not None:
+                active = process_context(
+                    processor, Context(base=document_iri), ctx_value,
+                    document_iri,
+                )
+                body = {k: v for k, v in doc.items() if k != "@context"}
+            else:
+                active = Context(base=document_iri)
+                body = doc
+            expanded = expand_document(processor, active, body)
+            compacted = compact_document(active, expanded)
+            reexpanded = expand_document(processor, active, compacted)
+            return compacted, 1 if reexpanded == expanded else 0
+        except JsonLdError:
+            return None
+
+    rows = []
+    for conv_id, turn_idx, text, tool in zip(
+        transcripts["conv_id"], transcripts["turn_idx"],
+        transcripts["text"], transcripts["tool"],
+    ):
+        has_inline = isinstance(text, str) and "<jsonld>" in text
+        if not (isinstance(tool, str) or has_inline):
+            continue
+        raws = []
+        if isinstance(tool, str) and tool:
+            raws.append(tool)
+        if has_inline:
+            raws.extend(_INLINE_RE.findall(text))
+        for doc_idx, raw in enumerate(raws):
+            out = compact_doc(raw)
+            if out is None:
+                continue
+            compacted, rt = out
+            n_keys, n_terms, n_iris = _compacted_doc_stats(compacted)
+            fp = hashlib.md5(
+                json.dumps(compacted, sort_keys=True, separators=(",", ":")).encode()
+            ).hexdigest()
+            rows.append(
+                (conv_id, int(turn_idx), doc_idx, n_keys, n_terms, n_iris, rt, fp)
+            )
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.string()),
+            pa.array([r[1] for r in rows], type=pa.int32()),
+            pa.array([r[2] for r in rows], type=pa.int32()),
+            pa.array([r[3] for r in rows], type=pa.int32()),
+            pa.array([r[4] for r in rows], type=pa.int32()),
+            pa.array([r[5] for r in rows], type=pa.int32()),
+            pa.array([r[6] for r in rows], type=pa.int32()),
+            pa.array([r[7] for r in rows], type=pa.string()),
+        ],
+        names=["conv_id", "turn_idx", "doc_idx", "n_keys", "n_term_keys",
+               "n_iri_keys", "roundtrip_ok", "compact_fp"],
+    )
+    pq.write_table(table, os.path.join(out_dir, "compacted_docs.parquet"))
+    print(f"wrote compacted_docs: {len(rows)} rows")
+
+
 # ------------------------------------------------------------ error stats
 
 def write_error_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
@@ -971,6 +1051,7 @@ def main() -> int:
     rows = write_triples(transcripts, out_dir, "triples")
     write_flatten_stats(transcripts, out_dir)
     write_framed_entities(transcripts, out_dir)
+    write_compacted_docs(transcripts, out_dir)
     write_error_stats(transcripts, out_dir)
     write_nodes_edges(rows, out_dir)
     write_pagerank(out_dir)
