@@ -218,6 +218,27 @@ def _kg_compact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _kg_from_rdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fromRdf (section 8.6, kernel/from_rdf.py): the extracted
+    triple table groups into per-turn RDF datasets and each reconstructs
+    to flattened expanded JSON-LD (literals->value objects, rdf:first/rest
+    ->@list, named graphs->@graph), then re-emits its triples to verify
+    the triples->fromRdf->toRdf roundtrip in-operator (blank labels
+    compared canonically). One shuffle on the turn key; per-group input is
+    one turn's triples, so no skew exposure at corpus scale. Oracle:
+    Spark-free kernel-loop golden (tools/make_golden.py
+    write_fromrdf_stats) through the SAME reconstruct_turn_stats kernel.
+    """
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.reconstruct import reconstruct_turn_docs
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    return reconstruct_turn_docs(
+        extract_triples(synth_transcripts(spark, sf_dir))
+    ).orderBy("conv_id", "turn_idx")
+
+
 def _kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental entity layer end-to-end (pipeline/job.py
     run_incremental_snapshot_pipeline): the corpus splits into two
@@ -750,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_flatten_stats": _kg_flatten_stats,
         "kg_framed_entities": _kg_framed_entities,
         "kg_compact_docs": _kg_compact_docs,
+        "kg_from_rdf": _kg_from_rdf,
         "kg_nodes_incremental": _kg_nodes_incremental,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
@@ -945,6 +967,12 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(out_degree, 0)::BIGINT AS out_degree, "
             "coalesce(in_degree, 0)::BIGINT AS in_degree "
             "FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node"
+        ),
+        "kg_from_rdf": (
+            "SELECT conv_id, turn_idx, n_nodes, n_graphs, n_lists, "
+            "n_triples, roundtrip_ok, fromrdf_fp "
+            f"FROM read_parquet('{_GOLDEN}/fromrdf_stats.parquet') "
+            "ORDER BY conv_id, turn_idx"
         ),
         "kg_compact_docs": (
             "SELECT conv_id, turn_idx, doc_idx, n_keys, n_term_keys, "

@@ -123,3 +123,34 @@ def triples_to_expanded(triples: list[dict]) -> list[dict[str, Any]]:
         entry = default.setdefault(g, {"@id": g})
         entry["@graph"] = [n for _, n in sorted(graphs[g].items())]
     return [n for _, n in sorted(default.items())]
+
+
+def canonical_triples(triples):
+    """Blank labels → canonical ids by first appearance in the
+    label-masked sort order; returns a sorted list of key/value tuple
+    rows. Two triple sets are equal *as RDF graphs* (modulo blank-node
+    relabeling) iff their canonical forms are equal — the comparator
+    behind the fromRdf→toRdf roundtrip invariant.
+    """
+    masked = []
+    for t in triples:
+        row = tuple(
+            ("_:?" if isinstance(v, str) and v.startswith("_:") else v)
+            if k in ("subj", "obj_value", "graph") else v
+            for k, v in sorted(t.items())
+        )
+        masked.append((row, t))
+    masked.sort(key=lambda p: tuple(repr(x) for x in p[0]))
+    mapping = {}
+
+    def canon(v):
+        if isinstance(v, str) and v.startswith("_:"):
+            if v not in mapping:
+                mapping[v] = f"_:c{len(mapping)}"
+            return mapping[v]
+        return v
+
+    out = []
+    for _, t in masked:
+        out.append(tuple((k, canon(v)) for k, v in sorted(t.items())))
+    return sorted(out, key=repr)

@@ -1,0 +1,148 @@
+"""RDF → JSON-LD reconstruction at scale (§8.6 fromRdf, distributed).
+
+The inverse leg of the pipeline: the extracted triple table, grouped into
+per-turn RDF datasets, is serialized back to flattened expanded JSON-LD by
+the ``kernel/from_rdf.py`` algorithm — literals to value objects,
+``rdf:first/rest`` chains to ``@list``, named graphs under ``@graph`` —
+and every turn re-emits its triples (toRdf) to verify the
+``triples → fromRdf → toRdf ≅ triples`` roundtrip *inside the operator*
+(blank labels compared canonically, ``kernel/from_rdf.canonical_triples``).
+
+Scope note: the reconstruction unit is the TURN — a turn's rows form one
+RDF dataset, so equal blank labels emitted by different documents of the
+same turn denote the same node, matching the extraction's own turn-level
+exact-row dedup semantics (pipeline/extract.py).
+
+Scale design: one shuffle, keyed by (conv_id, turn_idx) — the same key the
+extraction's in-kernel dedup already uses, with per-group input bounded by
+the triples of a single turn (O(10^1-10^2) rows regardless of corpus
+size), so the ``applyInPandas`` stage has no skew exposure at 10^12 turns.
+Rows are sorted canonically inside the kernel, making every emitted value
+a pure function of the group's row *set* (Spark's group-internal order is
+not deterministic).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RECONSTRUCT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("n_nodes", IntegerType()),
+        StructField("n_graphs", IntegerType()),
+        StructField("n_lists", IntegerType()),
+        StructField("n_triples", IntegerType()),
+        StructField("roundtrip_ok", IntegerType()),
+        StructField("fromrdf_fp", StringType()),
+    ]
+)
+
+_TRIPLE_FIELDS = [
+    "subj", "pred", "obj_kind", "obj_value", "obj_type", "obj_lang",
+    "obj_direction", "graph",
+]
+
+_BNODE_RE = re.compile(r'"_:([^"]+)"')
+
+
+def _count_lists(element: Any) -> int:
+    n = 0
+    stack = [element]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, list):
+            stack.extend(node)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                if k == "@list":
+                    n += 1
+                stack.append(v)
+    return n
+
+
+def _canonical_json_fp(rebuilt: Any) -> str:
+    """md5 of the canonical JSON with blank labels renamed by first
+    appearance in the sorted serialization — a bit-exact pin of the
+    reconstructed structure that is invariant to input blank labels."""
+    s = json.dumps(rebuilt, sort_keys=True, separators=(",", ":"))
+    mapping: dict[str, str] = {}
+
+    def rename(m: re.Match) -> str:
+        label = m.group(1)
+        if label not in mapping:
+            mapping[label] = f"c{len(mapping)}"
+        return f'"_:{mapping[label]}"'
+
+    return hashlib.md5(_BNODE_RE.sub(rename, s).encode()).hexdigest()
+
+
+def reconstruct_turn_stats(rows: list[dict]) -> tuple:
+    """Kernel core, shared verbatim by the Spark operator, the golden
+    writer, and tests: one turn's triple rows (dicts with the
+    ``_TRIPLE_FIELDS`` keys) → the stats tuple. Sorts rows canonically so
+    the result is a pure function of the row set."""
+    from ..kernel.expand_doc import expanded_to_triples
+    from ..kernel.from_rdf import canonical_triples, triples_to_expanded
+
+    rows = sorted(
+        rows, key=lambda t: tuple(repr(t[k]) for k in _TRIPLE_FIELDS)
+    )
+    rebuilt = triples_to_expanded([dict(t) for t in rows])
+    again = expanded_to_triples(rebuilt)
+    ok = 1 if canonical_triples(again) == canonical_triples(rows) else 0
+    n_graphs = sum(1 for n in rebuilt if "@graph" in n)
+    return (
+        len(rebuilt),
+        n_graphs,
+        _count_lists(rebuilt),
+        len(rows),
+        ok,
+        _canonical_json_fp(rebuilt),
+    )
+
+
+def reconstruct_turn_docs(triples: DataFrame) -> DataFrame:
+    """Per-turn fromRdf→toRdf roundtrip stats over the triple table.
+
+    Quarantine rows are excluded (they carry no triple). One row per
+    turn: reconstructed node/graph/list counts, the input triple count,
+    the roundtrip flag, and the blank-label-invariant md5 of the
+    reconstructed flattened document.
+    """
+    clean = triples.where(F.col("error_code").isNull()).select(
+        "conv_id", "turn_idx", *_TRIPLE_FIELDS
+    )
+
+    def per_turn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id, turn_idx = key
+        rows = pdf[_TRIPLE_FIELDS].to_dict("records")
+        for r in rows:
+            for k in _TRIPLE_FIELDS:
+                v = r[k]
+                if v is not None and not isinstance(v, str):
+                    # pandas surfaces parquet nulls as NaN in object cols
+                    r[k] = None if pd.isna(v) else v
+        stats = reconstruct_turn_stats(rows)
+        return pd.DataFrame(
+            [(conv_id, int(turn_idx)) + stats],
+            columns=[f.name for f in RECONSTRUCT_SCHEMA.fields],
+        )
+
+    return clean.groupBy("conv_id", "turn_idx").applyInPandas(
+        per_turn, schema=RECONSTRUCT_SCHEMA
+    )

@@ -42,33 +42,7 @@ DOCS = [
 ]
 
 
-def _canonical(triples):
-    """Blank labels → canonical ids by first appearance in the masked
-    sort order; returns a sorted list of tuples."""
-    masked = []
-    for t in triples:
-        row = tuple(
-            ("_:?" if isinstance(v, str) and v.startswith("_:") else v)
-            if k in ("subj", "obj_value", "graph") else v
-            for k, v in sorted(t.items())
-        )
-        masked.append((row, t))
-    masked.sort(key=lambda p: tuple(repr(x) for x in p[0]))
-    mapping: dict[str, str] = {}
-
-    def canon(v):
-        if isinstance(v, str) and v.startswith("_:"):
-            if v not in mapping:
-                mapping[v] = f"_:c{len(mapping)}"
-            return mapping[v]
-        return v
-
-    out = []
-    for _, t in masked:
-        out.append(
-            tuple((k, canon(v)) for k, v in sorted(t.items()))
-        )
-    return sorted(out, key=repr)
+from json_ld_spark.kernel.from_rdf import canonical_triples as _canonical
 
 
 @pytest.fixture(scope="module")

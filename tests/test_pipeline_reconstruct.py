@@ -1,0 +1,83 @@
+"""Distributed fromRdf reconstruction (pipeline/reconstruct.py)."""
+
+import pytest
+
+from json_ld_spark.pipeline.reconstruct import (
+    _TRIPLE_FIELDS,
+    reconstruct_turn_docs,
+    reconstruct_turn_stats,
+)
+
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _row(subj, pred, kind, value, ty=None, lang=None, direction=None, graph=None):
+    if kind == "literal" and ty is None and lang is None:
+        ty = XSD_STRING  # the extraction emits explicit xsd:string
+    return {
+        "subj": subj, "pred": pred, "obj_kind": kind, "obj_value": value,
+        "obj_type": ty, "obj_lang": lang, "obj_direction": direction,
+        "graph": graph,
+    }
+
+
+def test_spark_matches_kernel_per_turn(spark, sf_dir):
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    triples = extract_triples(synth_transcripts(spark, sf_dir))
+    got = {tuple(r) for r in reconstruct_turn_docs(triples).collect()}
+    assert got and all(r[6] == 1 for r in got), "roundtrip failed on fixture"
+
+    rows = triples.where("error_code IS NULL").collect()
+    by_turn = {}
+    for r in rows:
+        by_turn.setdefault((r.conv_id, r.turn_idx), []).append(
+            {k: getattr(r, k) for k in _TRIPLE_FIELDS}
+        )
+    expected = {
+        (conv, turn) + reconstruct_turn_stats(trs)
+        for (conv, turn), trs in by_turn.items()
+    }
+    assert got == expected
+
+
+def test_stats_invariant_to_row_order_and_blank_labels():
+    rows = [
+        _row("http://ex/s", "http://ex/p", "bnode", "_:b0"),
+        _row("_:b0", "http://ex/q", "literal", "x"),
+        _row("_:b0", "http://ex/q", "literal", "y",
+             ty="http://www.w3.org/2001/XMLSchema#integer"),
+    ]
+    base = reconstruct_turn_stats(list(rows))
+    assert base[4] == 1  # roundtrip_ok
+    # row order must not matter
+    assert reconstruct_turn_stats(list(reversed(rows))) == base
+    # blank relabeling must not change the fingerprint
+    relabeled = [
+        {k: ("_:zz9" if v == "_:b0" else v) for k, v in r.items()}
+        for r in rows
+    ]
+    assert reconstruct_turn_stats(relabeled) == base
+
+
+def test_named_graph_and_list_reconstruction():
+    first = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    rest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    nil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+    rows = [
+        _row("http://ex/s", "http://ex/items", "bnode", "_:l0"),
+        _row("_:l0", first, "literal", "a"),
+        _row("_:l0", rest, "bnode", "_:l1"),
+        _row("_:l1", first, "literal", "b"),
+        _row("_:l1", rest, "iri", nil),
+        _row("http://ex/g-node", "http://ex/in", "literal", "g",
+             graph="http://ex/g"),
+    ]
+    n_nodes, n_graphs, n_lists, n_triples, ok, fp = reconstruct_turn_stats(rows)
+    assert ok == 1
+    assert n_lists == 1
+    assert n_graphs == 1
+    assert n_triples == 6
+    assert len(fp) == 32

@@ -327,6 +327,47 @@ def write_compacted_docs(transcripts: pd.DataFrame, out_dir: str) -> None:
     print(f"wrote compacted_docs: {len(rows)} rows")
 
 
+# ------------------------------------------------------------ fromRdf stats
+
+def write_fromrdf_stats(out_dir: str) -> None:
+    """Kernel-only mirror of pipeline/reconstruct.reconstruct_turn_docs:
+    group the golden triples per turn and run the shared
+    reconstruct_turn_stats kernel (fromRdf -> toRdf roundtrip + fp)."""
+    from json_ld_spark.pipeline.reconstruct import (
+        _TRIPLE_FIELDS,
+        reconstruct_turn_stats,
+    )
+
+    t = pd.read_parquet(os.path.join(out_dir, "triples.parquet"))
+    t = t[t["error_code"].isna()]
+    rows_out = []
+    for (conv_id, turn_idx), g in t.groupby(["conv_id", "turn_idx"], sort=True):
+        rows = g[_TRIPLE_FIELDS].to_dict("records")
+        for r in rows:
+            for k in _TRIPLE_FIELDS:
+                v = r[k]
+                if v is not None and not isinstance(v, str) and pd.isna(v):
+                    r[k] = None
+        stats = reconstruct_turn_stats(rows)
+        rows_out.append((conv_id, int(turn_idx)) + stats)
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows_out], type=pa.string()),
+            pa.array([r[1] for r in rows_out], type=pa.int32()),
+            pa.array([r[2] for r in rows_out], type=pa.int32()),
+            pa.array([r[3] for r in rows_out], type=pa.int32()),
+            pa.array([r[4] for r in rows_out], type=pa.int32()),
+            pa.array([r[5] for r in rows_out], type=pa.int32()),
+            pa.array([r[6] for r in rows_out], type=pa.int32()),
+            pa.array([r[7] for r in rows_out], type=pa.string()),
+        ],
+        names=["conv_id", "turn_idx", "n_nodes", "n_graphs", "n_lists",
+               "n_triples", "roundtrip_ok", "fromrdf_fp"],
+    )
+    pq.write_table(table, os.path.join(out_dir, "fromrdf_stats.parquet"))
+    print(f"wrote fromrdf_stats: {len(rows_out)} rows")
+
+
 # ------------------------------------------------------------ error stats
 
 def write_error_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
@@ -1052,6 +1093,7 @@ def main() -> int:
     write_flatten_stats(transcripts, out_dir)
     write_framed_entities(transcripts, out_dir)
     write_compacted_docs(transcripts, out_dir)
+    write_fromrdf_stats(out_dir)
     write_error_stats(transcripts, out_dir)
     write_nodes_edges(rows, out_dir)
     write_pagerank(out_dir)
