@@ -252,14 +252,31 @@ def compact_iri_col(col: Column, ctx: Context) -> Column:
             col.startswith(ctx.vocab) & (F.length(col) > len(ctx.vocab)) & ~collision,
             suffix,
         )
-    # candidate length is len(term)+1-len(ns) + len(iri): ordering WHENs by
-    # that margin (ties by term) makes the first match the shortest
-    # candidate, the WD step-6 choice
-    for term, ns in sorted(prefixes, key=lambda p: (len(p[0]) + 1 - len(p[1]), p[0])):
-        candidate = F.concat(F.lit(term + ":"), F.substring(col, len(ns) + 1, 2**30))
-        collision = candidate.isin(*ctx.term_definitions.keys())
-        expr = expr.when(
-            col.startswith(ns) & (F.length(col) > len(ns)) & ~collision,
-            candidate,
-        )
+    # candidate length is len(term)+1-len(ns) + len(iri): WHEN groups
+    # ordered by that margin give the shortest candidate first (the WD
+    # step-6 choice). Equal margins mean equal candidate LENGTHS, where the
+    # kernel tie-breaks lexicographically on the full candidate string —
+    # which depends on the row's IRI suffix, so within a margin group the
+    # choice is least() over the group's valid candidates (least() skips
+    # nulls), not a static term-name order.
+    by_margin: dict[int, list] = {}
+    for term, ns in prefixes:
+        by_margin.setdefault(len(term) + 1 - len(ns), []).append((term, ns))
+    for margin in sorted(by_margin):
+        group = []
+        for term, ns in sorted(by_margin[margin]):
+            candidate = F.concat(
+                F.lit(term + ":"), F.substring(col, len(ns) + 1, 2**30)
+            )
+            collision = candidate.isin(*ctx.term_definitions.keys())
+            group.append(
+                F.when(
+                    col.startswith(ns)
+                    & (F.length(col) > len(ns))
+                    & ~collision,
+                    candidate,
+                )
+            )
+        best = group[0] if len(group) == 1 else F.least(*group)
+        expr = expr.when(best.isNotNull(), best)
     return expr.otherwise(col)

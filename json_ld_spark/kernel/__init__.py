@@ -27,7 +27,7 @@ from .expand_doc import (
     expand_document,
     expanded_to_triples,
 )
-from .compact import compact_document, compact_iri, compact_value
+from .compact import compact_document, compact_iri, compact_value, normalize_expanded
 from .flatten import flatten_document, flatten_expanded, flatten_stats
 from .frame import expand_frame, frame_document, frame_expanded
 from .from_rdf import triples_to_expanded
@@ -49,6 +49,7 @@ __all__ = [
     "compact_document",
     "compact_iri",
     "compact_value",
+    "normalize_expanded",
     "flatten_document",
     "flatten_expanded",
     "flatten_stats",

@@ -325,6 +325,11 @@ def compact_value(
             ctx, value["@id"],
             vocab=(td is not None and td.ty == "@vocab"), inverse=inverse,
         )
+        if "@index" in value:
+            # a node reference keeps its @index (only the @index-container
+            # map path may absorb it, and that strips it before recursing
+            # here) — the scalar form would silently drop data
+            return {"@id": compacted_ref, "@index": value["@index"]}
         if td is not None and td.ty in ("@id", "@vocab"):
             return compacted_ref
         return {"@id": compacted_ref}
@@ -375,6 +380,31 @@ def _value_object_form(
         if value.get(k) is not None:
             out[k] = value[k]
     return out
+
+
+def normalize_expanded(element: Any, in_list: bool = False) -> Any:
+    """Order-normal form of expanded JSON-LD for equality checks: property
+    arrays (and @type arrays) are unordered sets in the data model, so
+    they sort by canonical JSON; @list arrays keep their order. Two
+    expanded documents are roundtrip-equal iff their normal forms are
+    equal — strict == would report false fixpoint failures whenever
+    per-item term selection regroups a heterogeneous array (lossless but
+    reordered)."""
+    import json as _json
+
+    if isinstance(element, list):
+        items = [normalize_expanded(v) for v in element]
+        if in_list:
+            return items
+        return sorted(
+            items, key=lambda x: _json.dumps(x, sort_keys=True, default=str)
+        )
+    if isinstance(element, Mapping):
+        return {
+            k: normalize_expanded(v, in_list=(k == "@list"))
+            for k, v in element.items()
+        }
+    return element
 
 
 # ------------------------------------------------ §6.1 document compaction
@@ -480,13 +510,7 @@ def _compact_reverse(ctx: Context, rev_value: Mapping, inverse, result: dict) ->
         td_r = _td(ctx, cp)
         compacted = _compact(ctx, cp, items, inverse)
         if td_r is not None and td_r.reverse:
-            if cp in result:  # merge if the node already has this term
-                prev = result[cp]
-                prev = prev if isinstance(prev, list) else [prev]
-                add = compacted if isinstance(compacted, list) else [compacted]
-                result[cp] = prev + add
-            else:
-                result[cp] = compacted
+            _merge_entry(result, cp, compacted)
         else:
             remaining[cp] = compacted
     if remaining:

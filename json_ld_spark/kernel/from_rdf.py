@@ -125,32 +125,108 @@ def triples_to_expanded(triples: list[dict]) -> list[dict[str, Any]]:
     return [n for _, n in sorted(default.items())]
 
 
-def canonical_triples(triples):
-    """Blank labels → canonical ids by first appearance in the
-    label-masked sort order; returns a sorted list of key/value tuple
-    rows. Two triple sets are equal *as RDF graphs* (modulo blank-node
-    relabeling) iff their canonical forms are equal — the comparator
-    behind the fromRdf→toRdf roundtrip invariant.
+def canonical_triples(triples, max_perms: int = 5040):
+    """Canonical form of a triple set under blank-node relabeling;
+    returns a sorted list of key/value tuple rows.
+
+    Algorithm: signature refinement (each blank label's class is the
+    multiset of its incident triples with blanks masked by current
+    class) iterated to a fixpoint, then the lexicographically-minimal
+    serialization over all within-class relabelings. Refinement classes
+    are isomorphism-invariant, so two triple sets are equal as RDF
+    graphs iff their canonical forms are equal — EXACT whenever the
+    number of within-class relabelings is ≤ ``max_perms`` (ties after
+    refinement need automorphism-group search; real reconstruction
+    outputs resolve almost all labels by refinement alone). Beyond the
+    cap the intra-class order falls back to sorted labels — a
+    deterministic comparator that may report false inequality for
+    adversarial highly-symmetric graphs, never false equality.
     """
-    masked = []
-    for t in triples:
-        row = tuple(
-            ("_:?" if isinstance(v, str) and v.startswith("_:") else v)
-            if k in ("subj", "obj_value", "graph") else v
-            for k, v in sorted(t.items())
-        )
-        masked.append((row, t))
-    masked.sort(key=lambda p: tuple(repr(x) for x in p[0]))
+    from itertools import permutations, product as iproduct
+    from math import factorial
+
+    _BN_KEYS = ("subj", "obj_value", "graph")
+
+    def is_bn(v):
+        return isinstance(v, str) and v.startswith("_:")
+
+    rows = [dict(t) for t in triples]
+    labels = sorted({
+        v for t in rows for k in _BN_KEYS if is_bn(v := t.get(k))
+    })
+
+    def serialize(mapping):
+        out = [
+            tuple(
+                (k, mapping.get(v, v) if k in _BN_KEYS else v)
+                for k, v in sorted(t.items())
+            )
+            for t in rows
+        ]
+        return sorted(out, key=repr)
+
+    if not labels:
+        return serialize({})
+
+    # --- signature refinement to a fixpoint -------------------------------
+    cls = {l: 0 for l in labels}
+    for _ in range(len(labels) + 1):
+        sigs = {}
+        for l in labels:
+            incident = []
+            for t in rows:
+                if not any(t.get(k) == l for k in _BN_KEYS):
+                    continue
+                incident.append(tuple(
+                    (k, "@self" if v == l
+                     else (f"@c{cls[v]}" if is_bn(v) else v))
+                    if k in _BN_KEYS else (k, v)
+                    for k, v in sorted(t.items())
+                ))
+            sigs[l] = (cls[l], tuple(sorted(incident, key=repr)))
+        order = sorted(labels, key=lambda l: repr(sigs[l]))
+        new_cls, prev, cid = {}, None, -1
+        for l in order:
+            r = repr(sigs[l])
+            if r != prev:
+                cid += 1
+                prev = r
+            new_cls[l] = cid
+        if new_cls == cls:
+            break
+        cls = new_cls
+
+    groups: dict[int, list] = defaultdict(list)
+    for l in labels:
+        groups[cls[l]].append(l)
+    class_ids = sorted(groups)
+    offsets, off = {}, 0
+    for c in class_ids:
+        offsets[c] = off
+        off += len(groups[c])
+
+    n_perms = 1
+    for c in class_ids:
+        n_perms *= factorial(len(groups[c]))
+        if n_perms > max_perms:
+            break
+
+    if n_perms <= max_perms:
+        best = None
+        for combo in iproduct(
+            *[permutations(sorted(groups[c])) for c in class_ids]
+        ):
+            mapping = {}
+            for c, perm in zip(class_ids, combo):
+                for i, l in enumerate(perm):
+                    mapping[l] = f"_:c{offsets[c] + i}"
+            s = serialize(mapping)
+            if best is None or repr(s) < repr(best):
+                best = s
+        return best
+
     mapping = {}
-
-    def canon(v):
-        if isinstance(v, str) and v.startswith("_:"):
-            if v not in mapping:
-                mapping[v] = f"_:c{len(mapping)}"
-            return mapping[v]
-        return v
-
-    out = []
-    for _, t in masked:
-        out.append(tuple((k, canon(v)) for k, v in sorted(t.items())))
-    return sorted(out, key=repr)
+    for c in class_ids:
+        for i, l in enumerate(sorted(groups[c])):
+            mapping[l] = f"_:c{offsets[c] + i}"
+    return serialize(mapping)

@@ -127,11 +127,16 @@ def cosine_topk(
     one cheap count() against the base side, raising instead of launching a
     10^18-pair join by accident. Pass a larger value deliberately.
     """
-    n = embeddings.count()
-    if n > max_corpus:
+    # existence check, not a full count: limit(max_corpus+1) short-circuits
+    # the scan on one pruned column instead of evaluating the whole (possibly
+    # expensive, uncached) upstream lineage twice
+    over = (
+        embeddings.select("vec_id").limit(max_corpus + 1).count() > max_corpus
+    )
+    if over:
         raise ValueError(
-            f"cosine_topk is the exact O(n^2) baseline; corpus has {n} "
-            f"vectors > max_corpus={max_corpus}. Use lsh_topk/ivf_topk at "
+            f"cosine_topk is the exact O(n^2) baseline; corpus has more than "
+            f"max_corpus={max_corpus} vectors. Use lsh_topk/ivf_topk at "
             "scale, or raise max_corpus deliberately."
         )
     base = embeddings.select(

@@ -556,7 +556,7 @@ def compact_turn_docs(
     """
     import hashlib
 
-    from ..kernel import compact_document
+    from ..kernel import compact_document, normalize_expanded
 
     contexts = contexts or ContextDict()
     bc = transcripts.sparkSession.sparkContext.broadcast(
@@ -590,7 +590,10 @@ def compact_turn_docs(
                 reexpanded = expand_document(
                     expander.processor, active, compacted
                 )
-                return compacted, 1 if reexpanded == expanded else 0
+                rt = normalize_expanded(reexpanded) == normalize_expanded(
+                    expanded
+                )
+                return compacted, 1 if rt else 0
             except JsonLdError:
                 return None
 

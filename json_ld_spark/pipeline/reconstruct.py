@@ -116,14 +116,20 @@ def reconstruct_turn_stats(rows: list[dict]) -> tuple:
     )
 
 
+def _clean_cell(v):
+    """Parquet-null normalization shared by the Spark operator and the
+    golden writer (tools/make_golden.write_fromrdf_stats): pandas surfaces
+    parquet nulls as NaN in object columns — the kernel expects None."""
+    if v is not None and not isinstance(v, str) and pd.isna(v):
+        return None
+    return v
+
+
 def _clean_rows(pdf: pd.DataFrame) -> list[dict]:
     rows = pdf[_TRIPLE_FIELDS].to_dict("records")
     for r in rows:
         for k in _TRIPLE_FIELDS:
-            v = r[k]
-            if v is not None and not isinstance(v, str):
-                # pandas surfaces parquet nulls as NaN in object cols
-                r[k] = None if pd.isna(v) else v
+            r[k] = _clean_cell(r[k])
     return rows
 
 
@@ -180,10 +186,7 @@ def reconstruct_turn_docs(triples: DataFrame) -> DataFrame:
                 key = (conv[i], turn[i])
                 row = {}
                 for k, c in zip(_TRIPLE_FIELDS, cols):
-                    v = c[i]
-                    if v is not None and not isinstance(v, str) and pd.isna(v):
-                        v = None  # parquet nulls may surface as NaN
-                    row[k] = v
+                    row[k] = _clean_cell(c[i])
                 if key == pending_key:
                     pending_rows.append(row)
                 else:

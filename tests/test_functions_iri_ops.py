@@ -223,3 +223,33 @@ def test_classify_iri_col_categories(spark):
         for r in df.select("v", classify_iri_col(F.col("v")).alias("c")).collect()
     }
     assert got == cases
+
+
+def test_compact_iri_col_equal_length_curie_tiebreak(spark):
+    """Two prefix terms with equal-length candidates for the same IRI: the
+    kernel tie-breaks lexicographically on the full candidate STRING
+    ('a0:rest' < 'a:0rest' since '0' < ':'), not on the term name — the
+    column must agree."""
+    from json_ld_spark.kernel import Context, ProcessorOptions, process_context
+
+    processor = ProcessorOptions(document_iri="https://example.org/doc")
+    ctx = process_context(
+        processor,
+        Context(base="https://example.org/doc"),
+        {
+            "a": {"@id": "http://p/", "@prefix": True},
+            "a0": {"@id": "http://p/0", "@prefix": True},
+        },
+        "https://example.org/doc",
+    )
+    iris = ["http://p/0rest", "http://p/zrest", "http://p/00"]
+    want = {v: compact_iri(ctx, v, vocab=True) for v in iris}
+    assert want["http://p/0rest"] == "a0:rest"  # the tie the bug inverted
+    df = spark.createDataFrame([(v,) for v in iris], "v string")
+    got = {
+        r["v"]: r["out"]
+        for r in df.select(
+            "v", compact_iri_col(F.col("v"), ctx).alias("out")
+        ).collect()
+    }
+    assert got == want

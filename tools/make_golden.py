@@ -254,7 +254,7 @@ def write_compacted_docs(transcripts: pd.DataFrame, out_dir: str) -> None:
     no Spark): per candidate turn per document, expand -> full-section-6.1
     compact -> re-expand; emit key-class counts, the fixpoint flag, and the
     md5 fingerprint of the canonical compacted JSON."""
-    from json_ld_spark.kernel import compact_document
+    from json_ld_spark.kernel import compact_document, normalize_expanded
     from json_ld_spark.pipeline.extract import _compacted_doc_stats
 
     cd = ContextDict()
@@ -280,7 +280,8 @@ def write_compacted_docs(transcripts: pd.DataFrame, out_dir: str) -> None:
             expanded = expand_document(processor, active, body)
             compacted = compact_document(active, expanded)
             reexpanded = expand_document(processor, active, compacted)
-            return compacted, 1 if reexpanded == expanded else 0
+            rt = normalize_expanded(reexpanded) == normalize_expanded(expanded)
+            return compacted, 1 if rt else 0
         except JsonLdError:
             return None
 
@@ -334,7 +335,7 @@ def write_fromrdf_stats(out_dir: str) -> None:
     group the golden triples per turn and run the shared
     reconstruct_turn_stats kernel (fromRdf -> toRdf roundtrip + fp)."""
     from json_ld_spark.pipeline.reconstruct import (
-        _TRIPLE_FIELDS,
+        _clean_rows,
         reconstruct_turn_stats,
     )
 
@@ -342,13 +343,7 @@ def write_fromrdf_stats(out_dir: str) -> None:
     t = t[t["error_code"].isna()]
     rows_out = []
     for (conv_id, turn_idx), g in t.groupby(["conv_id", "turn_idx"], sort=True):
-        rows = g[_TRIPLE_FIELDS].to_dict("records")
-        for r in rows:
-            for k in _TRIPLE_FIELDS:
-                v = r[k]
-                if v is not None and not isinstance(v, str) and pd.isna(v):
-                    r[k] = None
-        stats = reconstruct_turn_stats(rows)
+        stats = reconstruct_turn_stats(_clean_rows(g))
         rows_out.append((conv_id, int(turn_idx)) + stats)
     table = pa.Table.from_arrays(
         [
