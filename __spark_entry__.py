@@ -239,6 +239,26 @@ def _kg_from_rdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
+def _kg_canonical_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed RDF dataset canonicalization (W3C RDFC-1.0 /
+    URDNA2015, kernel/canonicalize.py): each turn's quads relabel to
+    canonical ``_:c14n<i>`` blank nodes and serialize as code-point-sorted
+    canonical N-Quads — turns carrying isomorphic RDF become byte-identical
+    line sets (content-addressed subgraphs; cross-snapshot diffing). Same
+    single-shuffle streaming-group plan as kg_from_rdf; a too-automorphic
+    turn degrades to one quarantine row instead of failing the job.
+    Oracle: Spark-free kernel-loop golden (tools/make_golden.py
+    write_canonical_nquads), which independently re-checks isomorphism
+    invariance by relabeling+shuffling every turn before comparing."""
+    from json_ld_spark.pipeline.canonical import canonical_nquads
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    return canonical_nquads(
+        extract_triples(synth_transcripts(spark, sf_dir))
+    ).orderBy("conv_id", "turn_idx", "line_idx")
+
+
 def _kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental entity layer end-to-end (pipeline/job.py
     run_incremental_snapshot_pipeline): the corpus splits into two
@@ -772,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_framed_entities": _kg_framed_entities,
         "kg_compact_docs": _kg_compact_docs,
         "kg_from_rdf": _kg_from_rdf,
+        "kg_canonical_nquads": _kg_canonical_nquads,
         "kg_nodes_incremental": _kg_nodes_incremental,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
@@ -973,6 +994,11 @@ def oracle_sql() -> dict[str, str]:
             "n_triples, roundtrip_ok, fromrdf_fp "
             f"FROM read_parquet('{_GOLDEN}/fromrdf_stats.parquet') "
             "ORDER BY conv_id, turn_idx"
+        ),
+        "kg_canonical_nquads": (
+            "SELECT conv_id, turn_idx, line_idx, nquad, error_code "
+            f"FROM read_parquet('{_GOLDEN}/canonical_nquads.parquet') "
+            "ORDER BY conv_id, turn_idx, line_idx"
         ),
         "kg_compact_docs": (
             "SELECT conv_id, turn_idx, doc_idx, n_keys, n_term_keys, "

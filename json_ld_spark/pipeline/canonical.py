@@ -1,0 +1,123 @@
+"""Distributed RDF dataset canonicalization (RDFC-1.0) over the triple
+table — per-turn canonical N-Quads.
+
+Canonicalization's unit is the TURN, matching ``pipeline/reconstruct.py``:
+a turn's rows form one RDF dataset (extraction's turn-level dedup already
+treats equal blank labels within a turn as one node). Each turn emits its
+quads relabeled ``_:c14n<i>`` per the W3C RDF Dataset Canonicalization
+algorithm (``kernel/canonicalize.py``), sorted in code-point order — so
+two turns carry isomorphic RDF iff their (line_idx, nquad) sets are
+byte-identical, giving content-addressed turn subgraphs for cross-snapshot
+diffing and graph-level dedup downstream.
+
+Scale design (same shape as ``reconstruct_turn_docs``, measured 6.4×
+faster than per-group ``applyInPandas`` at sf0.1): ONE hash repartition
+on (conv_id, turn_idx) + sort-within-partitions + a streaming
+``mapInPandas`` that stitches the single group that can straddle an Arrow
+batch boundary. Per-group input is bounded by one turn's triples
+(O(10^1-10^2) rows at any corpus size) and per-group CPU by the kernel's
+``max_work`` poison-graph budget, so the stage has no skew exposure at
+10^12 turns. A too-automorphic turn degrades to ONE quarantine row
+(``error_code`` set) instead of failing the job — the extraction
+pipeline's per-row error philosophy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.canonicalize import (
+    CanonicalizationTooComplex,
+    canonicalize_quads,
+)
+from .reconstruct import _TRIPLE_FIELDS, _clean_cell
+
+CANONICAL_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("line_idx", IntegerType()),
+        StructField("nquad", StringType()),
+        StructField("error_code", StringType()),
+    ]
+)
+
+TOO_COMPLEX = "canonicalization too complex"
+
+
+def canonical_turn_lines(
+    rows: list[dict], max_work: int = 400
+) -> list[tuple[int, str, str]]:
+    """Kernel core shared verbatim by the Spark operator, the golden
+    writer (tools/make_golden.py), and tests: one turn's triple rows →
+    ``[(line_idx, nquad, error_code)]``. Output is a pure function of
+    the row *set* (canonicalization sorts and dedups internally)."""
+    try:
+        lines = canonicalize_quads(rows, max_work=max_work)
+    except CanonicalizationTooComplex:
+        return [(0, None, TOO_COMPLEX)]
+    return [(i, ln, None) for i, ln in enumerate(lines)]
+
+
+def canonical_nquads(triples: DataFrame, max_work: int = 400) -> DataFrame:
+    """Per-turn canonical N-Quads (see module docstring for the plan
+    shape). Quarantined extraction rows are excluded — they carry no
+    triple."""
+    spark = triples.sparkSession
+    # user-specified numPartitions: exempt from AQE's byte-based
+    # coalescing, which would otherwise fold this small-bytes/high-CPU
+    # shuffle into too few tasks (cost here is per-row Python kernel work)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    clean = (
+        triples.where(F.col("error_code").isNull())
+        .select("conv_id", "turn_idx", *_TRIPLE_FIELDS)
+        .repartition(n_parts, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    out_cols = [f.name for f in CANONICAL_SCHEMA.fields]
+
+    def per_partition(batches):
+        pending_key: tuple | None = None
+        pending_rows: list[dict] = []
+
+        def finish(key: tuple) -> list[tuple]:
+            conv_id, turn_idx = key
+            return [
+                (conv_id, int(turn_idx), i, ln, err)
+                for i, ln, err in canonical_turn_lines(
+                    pending_rows, max_work=max_work
+                )
+            ]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            conv = pdf["conv_id"].to_numpy()
+            turn = pdf["turn_idx"].to_numpy()
+            cols = [pdf[k].to_numpy() for k in _TRIPLE_FIELDS]
+            out: list[tuple] = []
+            for i in range(len(pdf)):
+                key = (conv[i], turn[i])
+                row = {}
+                for k, c in zip(_TRIPLE_FIELDS, cols):
+                    row[k] = _clean_cell(c[i])
+                if key == pending_key:
+                    pending_rows.append(row)
+                else:
+                    if pending_key is not None:
+                        out.extend(finish(pending_key))
+                    pending_key, pending_rows = key, [row]
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+        if pending_key is not None:
+            yield pd.DataFrame(finish(pending_key), columns=out_cols)
+
+    return clean.mapInPandas(per_partition, schema=CANONICAL_SCHEMA)

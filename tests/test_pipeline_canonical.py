@@ -1,0 +1,91 @@
+"""Distributed RDFC-1.0 canonicalization operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from json_ld_spark.pipeline.canonical import (
+    TOO_COMPLEX,
+    canonical_nquads,
+    canonical_turn_lines,
+)
+
+_COLS = (
+    "conv_id string, turn_idx int, subj string, pred string, "
+    "obj_kind string, obj_value string, obj_type string, obj_lang string, "
+    "obj_direction string, graph string, error_code string"
+)
+
+
+def _row(conv, turn, s, p, o, kind="iri", g=None, err=None):
+    return (conv, turn, s, p, kind, o, None, None, None, g, err)
+
+
+def _poison_rows(conv, turn, n=7):
+    bns = [f"_:b{i}" for i in range(n)]
+    return [
+        _row(conv, turn, a, "http://e/p", b, kind="bnode")
+        for a in bns
+        for b in bns
+        if a != b
+    ]
+
+
+def test_canonical_nquads_matches_kernel_and_quarantines(spark):
+    rows = [
+        # turn A: bnode chain + an IRI triple
+        _row("c1", 0, "_:x", "http://e/knows", "_:y", kind="bnode"),
+        _row("c1", 0, "_:y", "http://e/name", "http://e/alice"),
+        # turn B: same structure under different labels -> must emit
+        # byte-identical canonical lines (content-addressed subgraphs)
+        _row("c2", 5, "_:q", "http://e/knows", "_:r", kind="bnode"),
+        _row("c2", 5, "_:r", "http://e/name", "http://e/alice"),
+        # turn C: poison (complete automorphic graph) -> quarantine row
+        *_poison_rows("c3", 1),
+        # quarantined extraction row: excluded entirely
+        _row("c4", 2, None, None, None, err="loading document failed"),
+    ]
+    df = spark.createDataFrame(rows, _COLS)
+    out = canonical_nquads(df, max_work=50).collect()
+
+    by_turn: dict[tuple, list] = {}
+    for r in out:
+        by_turn.setdefault((r.conv_id, r.turn_idx), []).append(r)
+
+    assert set(by_turn) == {("c1", 0), ("c2", 5), ("c3", 1)}
+
+    a = sorted(by_turn[("c1", 0)], key=lambda r: r.line_idx)
+    b = sorted(by_turn[("c2", 5)], key=lambda r: r.line_idx)
+    assert [r.nquad for r in a] == [r.nquad for r in b]
+    assert all(r.error_code is None for r in a + b)
+    assert "_:c14n" in a[0].nquad
+
+    # matches the shared kernel run Spark-free on the same rows
+    kernel_rows = [
+        {
+            "subj": "_:x", "pred": "http://e/knows", "obj_kind": "bnode",
+            "obj_value": "_:y", "obj_type": None, "obj_lang": None,
+            "obj_direction": None, "graph": None,
+        },
+        {
+            "subj": "_:y", "pred": "http://e/name", "obj_kind": "iri",
+            "obj_value": "http://e/alice", "obj_type": None,
+            "obj_lang": None, "obj_direction": None, "graph": None,
+        },
+    ]
+    assert [(r.line_idx, r.nquad, r.error_code) for r in a] == (
+        canonical_turn_lines(kernel_rows)
+    )
+
+    c = by_turn[("c3", 1)]
+    assert len(c) == 1 and c[0].nquad is None
+    assert c[0].error_code == TOO_COMPLEX
+
+
+def test_canonical_nquads_plan_is_single_shuffle(spark):
+    rows = [_row("c1", 0, "_:x", "http://e/p", "v", kind="literal")]
+    df = spark.createDataFrame(rows, _COLS)
+    plan = canonical_nquads(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # streaming mapInPandas, not per-group applyInPandas
+    assert "FlatMapGroupsInPandas" not in plan

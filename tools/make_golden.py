@@ -363,6 +363,87 @@ def write_fromrdf_stats(out_dir: str) -> None:
     print(f"wrote fromrdf_stats: {len(rows_out)} rows")
 
 
+# ------------------------------------------------- canonical N-Quads (RDFC)
+
+def write_canonical_nquads(out_dir: str) -> None:
+    """Kernel-only mirror of pipeline/canonical.canonical_nquads: group the
+    golden triples per turn and run the shared canonical_turn_lines kernel.
+
+    Independent property check per turn: canonical N-Quads must be
+    invariant under blank-node relabeling + row shuffling — every turn is
+    re-canonicalized from a seeded-random bijective relabeling of its
+    blank labels in shuffled row order, and the two line lists must be
+    byte-identical. This pins isomorphism-invariance (the algorithm's
+    defining property) without trusting the kernel's own label choices.
+    """
+    import random as _random
+
+    from json_ld_spark.pipeline.canonical import canonical_turn_lines
+    from json_ld_spark.pipeline.reconstruct import _clean_rows
+
+    t = pd.read_parquet(os.path.join(out_dir, "triples.parquet"))
+    t = t[t["error_code"].isna()]
+    rows_out: list[tuple] = []
+    rng = _random.Random(20260817)
+    n_checked = 0
+    for (conv_id, turn_idx), g in t.groupby(["conv_id", "turn_idx"], sort=True):
+        rows = _clean_rows(g)
+        lines = canonical_turn_lines(rows)
+
+        # isomorphism-invariance cross-check on a relabeled shuffle
+        labels = sorted({
+            v for r in rows
+            for v in (
+                r["subj"],
+                r["obj_value"] if r["obj_kind"] != "literal" else None,
+                r["graph"],
+            )
+            if isinstance(v, str) and v.startswith("_:")
+        })
+        if labels:
+            perm = labels[:]
+            rng.shuffle(perm)
+            mapping = {
+                old: f"_:relab{i}_{rng.randrange(10**6)}"
+                for i, old in enumerate(perm)
+            }
+            relab = []
+            for r in rows:
+                r = dict(r)
+                if r["subj"] in mapping:
+                    r["subj"] = mapping[r["subj"]]
+                if r["obj_kind"] != "literal" and r["obj_value"] in mapping:
+                    r["obj_value"] = mapping[r["obj_value"]]
+                if r["graph"] in mapping:
+                    r["graph"] = mapping[r["graph"]]
+                relab.append(r)
+            rng.shuffle(relab)
+            assert canonical_turn_lines(relab) == lines, (
+                f"canonicalization not isomorphism-invariant for "
+                f"({conv_id}, {turn_idx})"
+            )
+            n_checked += 1
+
+        for i, ln, err in lines:
+            rows_out.append((conv_id, int(turn_idx), i, ln, err))
+
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows_out], type=pa.string()),
+            pa.array([r[1] for r in rows_out], type=pa.int32()),
+            pa.array([r[2] for r in rows_out], type=pa.int32()),
+            pa.array([r[3] for r in rows_out], type=pa.string()),
+            pa.array([r[4] for r in rows_out], type=pa.string()),
+        ],
+        names=["conv_id", "turn_idx", "line_idx", "nquad", "error_code"],
+    )
+    pq.write_table(table, os.path.join(out_dir, "canonical_nquads.parquet"))
+    print(
+        f"wrote canonical_nquads: {len(rows_out)} rows "
+        f"({n_checked} turns invariance-checked)"
+    )
+
+
 # ------------------------------------------------------------ error stats
 
 def write_error_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
@@ -1089,6 +1170,7 @@ def main() -> int:
     write_framed_entities(transcripts, out_dir)
     write_compacted_docs(transcripts, out_dir)
     write_fromrdf_stats(out_dir)
+    write_canonical_nquads(out_dir)
     write_error_stats(transcripts, out_dir)
     write_nodes_edges(rows, out_dir)
     write_pagerank(out_dir)
