@@ -259,6 +259,23 @@ def _kg_canonical_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx", "line_idx")
 
 
+def _kg_graph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-isomorphism turn dedup (pipeline/canonical.graph_dedup):
+    turns whose RDF datasets are isomorphic share a canonical-N-Quads
+    fingerprint (RDFC-1.0 content address) and collapse to one kept
+    representative — the dedup text hashing cannot express (re-expanded
+    subgraphs mint fresh blank labels every time). Oracle: plain DuckDB
+    SQL over the golden canonical lines (string_agg fingerprint + window
+    representative), independent of the Spark aggregation shape."""
+    from json_ld_spark.pipeline.canonical import graph_dedup
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    return graph_dedup(
+        extract_triples(synth_transcripts(spark, sf_dir))
+    ).orderBy("conv_id", "turn_idx")
+
+
 def _kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental entity layer end-to-end (pipeline/job.py
     run_incremental_snapshot_pipeline): the corpus splits into two
@@ -793,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_compact_docs": _kg_compact_docs,
         "kg_from_rdf": _kg_from_rdf,
         "kg_canonical_nquads": _kg_canonical_nquads,
+        "kg_graph_dedup": _kg_graph_dedup,
         "kg_nodes_incremental": _kg_nodes_incremental,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
@@ -999,6 +1017,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, line_idx, nquad, error_code "
             f"FROM read_parquet('{_GOLDEN}/canonical_nquads.parquet') "
             "ORDER BY conv_id, turn_idx, line_idx"
+        ),
+        "kg_graph_dedup": (
+            "WITH ok AS (SELECT * "
+            f"FROM read_parquet('{_GOLDEN}/canonical_nquads.parquet') "
+            "WHERE error_code IS NULL), "
+            "fps AS (SELECT conv_id, turn_idx, "
+            "md5(string_agg(nquad, chr(10) ORDER BY nquad)) AS graph_fp, "
+            "count(*) AS n_quads FROM ok GROUP BY 1, 2) "
+            "SELECT conv_id, turn_idx, graph_fp, n_quads, "
+            "count(*) OVER (PARTITION BY graph_fp) AS group_size, "
+            "(row_number() OVER (PARTITION BY graph_fp "
+            "ORDER BY conv_id, turn_idx) = 1) AS keep "
+            "FROM fps ORDER BY conv_id, turn_idx"
         ),
         "kg_compact_docs": (
             "SELECT conv_id, turn_idx, doc_idx, n_keys, n_term_keys, "

@@ -121,3 +121,51 @@ def canonical_nquads(triples: DataFrame, max_work: int = 400) -> DataFrame:
             yield pd.DataFrame(finish(pending_key), columns=out_cols)
 
     return clean.mapInPandas(per_partition, schema=CANONICAL_SCHEMA)
+
+
+def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:
+    """Graph-level turn dedup: two turns are duplicates iff their RDF
+    datasets are isomorphic — exactly when their canonical N-Quads are
+    byte-identical. The canonical serialization therefore acts as a
+    content address: ``graph_fp = md5(sorted canonical lines)``, and each
+    fingerprint group keeps its (conv_id, turn_idx)-least member.
+
+    This is the dedup a training pipeline needs that exact text/row hashing
+    cannot express: the same extracted subgraph re-serialized with fresh
+    blank labels (every re-expansion mints new ones) hashes differently as
+    text but identically here.
+
+    Scale shape: all JVM after the canonicalization stage. Fingerprints are
+    one grouped aggregate on the turn key (canonical lines are already
+    code-point sorted, so ``sort_array(collect_list(nquad))`` rebuilds the
+    deterministic order without the line_idx column). Representatives come
+    from groupBy(graph_fp).min(struct) + an equi-join back — the
+    map-side-combining, skew-safe shape; a window over fp would sort whole
+    degenerate groups on one task. Too-automorphic turns (quarantined by
+    ``canonical_nquads``) are excluded: no isomorphism verdict exists for
+    them.
+    """
+    lines = canonical_nquads(triples, max_work=max_work).where(
+        F.col("error_code").isNull()
+    )
+    fps = lines.groupBy("conv_id", "turn_idx").agg(
+        F.md5(
+            F.concat_ws("\n", F.sort_array(F.collect_list("nquad")))
+        ).alias("graph_fp"),
+        F.count(F.lit(1)).alias("n_quads"),
+    )
+    reps = fps.groupBy("graph_fp").agg(
+        F.min(F.struct("conv_id", "turn_idx")).alias("rep"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return fps.join(reps, "graph_fp").select(
+        "conv_id",
+        "turn_idx",
+        "graph_fp",
+        "n_quads",
+        "group_size",
+        (
+            (F.col("conv_id") == F.col("rep.conv_id"))
+            & (F.col("turn_idx") == F.col("rep.turn_idx"))
+        ).alias("keep"),
+    )

@@ -8,6 +8,7 @@ from json_ld_spark.pipeline.canonical import (
     TOO_COMPLEX,
     canonical_nquads,
     canonical_turn_lines,
+    graph_dedup,
 )
 
 _COLS = (
@@ -80,6 +81,35 @@ def test_canonical_nquads_matches_kernel_and_quarantines(spark):
     c = by_turn[("c3", 1)]
     assert len(c) == 1 and c[0].nquad is None
     assert c[0].error_code == TOO_COMPLEX
+
+
+def test_graph_dedup_collapses_isomorphic_turns(spark):
+    rows = [
+        # three pairwise-isomorphic turns under different blank labels
+        _row("c1", 0, "_:x", "http://e/knows", "_:y", kind="bnode"),
+        _row("c1", 0, "_:y", "http://e/name", "http://e/alice"),
+        _row("c2", 5, "_:q", "http://e/knows", "_:r", kind="bnode"),
+        _row("c2", 5, "_:r", "http://e/name", "http://e/alice"),
+        _row("c1", 9, "_:m", "http://e/knows", "_:n", kind="bnode"),
+        _row("c1", 9, "_:n", "http://e/name", "http://e/alice"),
+        # one structurally-different turn
+        _row("c3", 2, "_:a", "http://e/name", "http://e/bob"),
+        # one poison turn: excluded (no isomorphism verdict)
+        *_poison_rows("c4", 1),
+    ]
+    df = spark.createDataFrame(rows, _COLS)
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in graph_dedup(df, max_work=50).collect()
+    }
+    assert set(out) == {("c1", 0), ("c2", 5), ("c1", 9), ("c3", 2)}
+    iso = [out[("c1", 0)], out[("c1", 9)], out[("c2", 5)]]
+    assert len({r.graph_fp for r in iso}) == 1
+    assert all(r.group_size == 3 for r in iso)
+    # least (conv_id, turn_idx) is the kept representative
+    assert [r.keep for r in iso] == [True, False, False]
+    assert out[("c3", 2)].keep and out[("c3", 2)].group_size == 1
+    assert out[("c3", 2)].graph_fp != iso[0].graph_fp
 
 
 def test_canonical_nquads_plan_is_single_shuffle(spark):

@@ -63,6 +63,12 @@ def test_w3c_case(case, env):
             _run(proc, document_iri, case["input"])
         assert exc.value.code.value == case["expectError"], exc.value
         return
+    if case.get("type") == "canon":
+        from json_ld_spark.kernel.canonicalize import canonicalize_quads
+
+        got = canonicalize_quads(case["input"])
+        assert got == case["expect"], json.dumps(got, indent=1)
+        return
     if case.get("type") == "fromRdf":
         from json_ld_spark.kernel import triples_to_expanded
 
