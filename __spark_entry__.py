@@ -259,6 +259,27 @@ def _kg_canonical_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx", "line_idx")
 
 
+def _kg_skolemized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skolemization (RDF 1.1 Concepts: well-known genid IRIs): every
+    blank node becomes a STABLE IRI embedding its RDFC-1.0 canonical
+    label — a pure function of the turn's graph structure, so
+    re-extraction (which mints fresh _:b<i> labels) yields identical
+    IRIs and former bnodes join across snapshots. Too-automorphic turns
+    quarantine with error_code instead of failing. Oracle: Spark-free
+    kernel golden whose generator re-checks label-invariance by
+    relabeling+shuffling every turn (tools/make_golden.py)."""
+    from json_ld_spark.pipeline.canonical import skolemize_triples
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    return skolemize_triples(
+        extract_triples(synth_transcripts(spark, sf_dir))
+    ).orderBy(
+        *_TRIPLE_ORDER,
+        *[F.col(c).asc_nulls_first() for c in _TRIPLE_ORDER_NULLABLE],
+    )
+
+
 def _kg_graph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-isomorphism turn dedup (pipeline/canonical.graph_dedup):
     turns whose RDF datasets are isomorphic share a canonical-N-Quads
@@ -811,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_from_rdf": _kg_from_rdf,
         "kg_canonical_nquads": _kg_canonical_nquads,
         "kg_graph_dedup": _kg_graph_dedup,
+        "kg_skolemized": _kg_skolemized,
         "kg_nodes_incremental": _kg_nodes_incremental,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
@@ -1017,6 +1039,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, line_idx, nquad, error_code "
             f"FROM read_parquet('{_GOLDEN}/canonical_nquads.parquet') "
             "ORDER BY conv_id, turn_idx, line_idx"
+        ),
+        "kg_skolemized": (
+            "SELECT conv_id, turn_idx, subj, pred, obj_kind, obj_value, "
+            "obj_type, obj_lang, obj_direction, graph, error_code "
+            f"FROM read_parquet('{_GOLDEN}/skolemized.parquet') "
+            "ORDER BY conv_id, turn_idx, subj, pred, obj_kind, obj_value, "
+            "obj_type NULLS FIRST, obj_lang NULLS FIRST, "
+            "obj_direction NULLS FIRST, graph NULLS FIRST"
         ),
         "kg_graph_dedup": (
             "WITH ok AS (SELECT * "

@@ -123,6 +123,122 @@ def canonical_nquads(triples: DataFrame, max_work: int = 400) -> DataFrame:
     return clean.mapInPandas(per_partition, schema=CANONICAL_SCHEMA)
 
 
+SKOLEM_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("subj", StringType()),
+        StructField("pred", StringType()),
+        StructField("obj_kind", StringType()),
+        StructField("obj_value", StringType()),
+        StructField("obj_type", StringType()),
+        StructField("obj_lang", StringType()),
+        StructField("obj_direction", StringType()),
+        StructField("graph", StringType()),
+        StructField("error_code", StringType()),
+    ]
+)
+
+_GENID_PREFIX = "https://kg.example.org/.well-known/genid"
+
+
+def skolemize_turn_rows(
+    rows: list[dict], conv_id: str, turn_idx: int, max_work: int = 400
+) -> list[dict]:
+    """Kernel core shared by the Spark operator, the golden writer, and
+    tests: replace every blank node in one turn's rows with a *stable*
+    skolem IRI (RDF 1.1 Concepts §skolemization, well-known genid path).
+
+    The IRI embeds the RDFC-1.0 canonical label, so it is a pure function
+    of the turn's graph STRUCTURE — re-extracting the turn (which mints
+    fresh ``_:b<i>`` labels) yields the identical skolem IRIs, making
+    former blank nodes joinable across snapshots and pipelines. A
+    too-automorphic turn quarantines (``error_code``), keeping its blank
+    labels untouched."""
+    from ..kernel.canonicalize import canonical_label_map
+
+    try:
+        mapping = {
+            old: f"{_GENID_PREFIX}/{conv_id}/{turn_idx}/{label}"
+            for old, label in canonical_label_map(
+                rows, max_work=max_work
+            ).items()
+        }
+    except CanonicalizationTooComplex:
+        return [
+            {**dict(r), "error_code": TOO_COMPLEX} for r in rows
+        ]
+    out = []
+    for r in rows:
+        r = dict(r)
+        r["error_code"] = None
+        if r["subj"] in mapping:
+            r["subj"] = mapping[r["subj"]]
+        if r["obj_kind"] == "bnode" and r["obj_value"] in mapping:
+            r["obj_value"] = mapping[r["obj_value"]]
+            r["obj_kind"] = "iri"
+        if r.get("graph") in mapping:
+            r["graph"] = mapping[r["graph"]]
+        out.append(r)
+    return out
+
+
+def skolemize_triples(triples: DataFrame, max_work: int = 400) -> DataFrame:
+    """Per-turn skolemization of the triple table (same single-shuffle
+    streaming-group plan as ``canonical_nquads``; see
+    ``skolemize_turn_rows`` for the semantics). Output keeps the triple
+    schema — a drop-in bnode-free replacement for downstream joins."""
+    spark = triples.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    clean = (
+        triples.where(F.col("error_code").isNull())
+        .select("conv_id", "turn_idx", *_TRIPLE_FIELDS)
+        .repartition(n_parts, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    out_cols = [f.name for f in SKOLEM_SCHEMA.fields]
+
+    def per_partition(batches):
+        pending_key: tuple | None = None
+        pending_rows: list[dict] = []
+
+        def finish(key: tuple) -> list[tuple]:
+            conv_id, turn_idx = key
+            return [
+                (conv_id, int(turn_idx))
+                + tuple(r[k] for k in _TRIPLE_FIELDS)
+                + (r["error_code"],)
+                for r in skolemize_turn_rows(
+                    pending_rows, conv_id, int(turn_idx), max_work=max_work
+                )
+            ]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            conv = pdf["conv_id"].to_numpy()
+            turn = pdf["turn_idx"].to_numpy()
+            cols = [pdf[k].to_numpy() for k in _TRIPLE_FIELDS]
+            out: list[tuple] = []
+            for i in range(len(pdf)):
+                key = (conv[i], turn[i])
+                row = {}
+                for k, c in zip(_TRIPLE_FIELDS, cols):
+                    row[k] = _clean_cell(c[i])
+                if key == pending_key:
+                    pending_rows.append(row)
+                else:
+                    if pending_key is not None:
+                        out.extend(finish(pending_key))
+                    pending_key, pending_rows = key, [row]
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+        if pending_key is not None:
+            yield pd.DataFrame(finish(pending_key), columns=out_cols)
+
+    return clean.mapInPandas(per_partition, schema=SKOLEM_SCHEMA)
+
+
 def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:
     """Graph-level turn dedup: two turns are duplicates iff their RDF
     datasets are isomorphic — exactly when their canonical N-Quads are

@@ -6,9 +6,12 @@ from pyspark.sql import functions as F
 
 from json_ld_spark.pipeline.canonical import (
     TOO_COMPLEX,
+    _GENID_PREFIX,
     canonical_nquads,
     canonical_turn_lines,
     graph_dedup,
+    skolemize_triples,
+    skolemize_turn_rows,
 )
 
 _COLS = (
@@ -110,6 +113,81 @@ def test_graph_dedup_collapses_isomorphic_turns(spark):
     assert [r.keep for r in iso] == [True, False, False]
     assert out[("c3", 2)].keep and out[("c3", 2)].group_size == 1
     assert out[("c3", 2)].graph_fp != iso[0].graph_fp
+
+
+def test_skolemize_stable_across_relabeling(spark):
+    rows = [
+        # turn A and its relabeled twin: skolem IRIs must be identical
+        _row("c1", 0, "_:x", "http://e/knows", "_:y", kind="bnode"),
+        _row("c1", 0, "_:y", "http://e/name", "http://e/alice"),
+        _row("c1", 3, "_:q", "http://e/knows", "_:r", kind="bnode"),
+        _row("c1", 3, "_:r", "http://e/name", "http://e/alice"),
+        # poison turn: quarantined with labels untouched
+        *_poison_rows("c2", 1),
+        # quarantined extraction row: excluded
+        _row("c3", 2, None, None, None, err="loading document failed"),
+    ]
+    df = spark.createDataFrame(rows, _COLS)
+    out = skolemize_triples(df, max_work=50).collect()
+
+    by_turn: dict[tuple, list] = {}
+    for r in out:
+        by_turn.setdefault((r.conv_id, r.turn_idx), []).append(r)
+    assert set(by_turn) == {("c1", 0), ("c1", 3), ("c2", 1)}
+
+    def canon(rows_):
+        # strip the turn-specific IRI segment so structural identity shows
+        return sorted(
+            (
+                r.subj.replace(f"/{r.turn_idx}/", "/T/"),
+                r.pred,
+                r.obj_kind,
+                r.obj_value.replace(f"/{r.turn_idx}/", "/T/"),
+            )
+            for r in rows_
+        )
+
+    a, b = by_turn[("c1", 0)], by_turn[("c1", 3)]
+    assert canon(a) == canon(b)
+    assert all(r.obj_kind != "bnode" for r in a + b)
+    assert all(r.subj.startswith(_GENID_PREFIX) for r in a)
+    assert all(r.error_code is None for r in a + b)
+    # distinct turns never collide: the IRI embeds (conv_id, turn_idx)
+    assert {r.subj for r in a}.isdisjoint({r.subj for r in b})
+
+    # matches the shared kernel run Spark-free on the same rows
+    kernel_rows = [
+        {
+            "subj": "_:x", "pred": "http://e/knows", "obj_kind": "bnode",
+            "obj_value": "_:y", "obj_type": None, "obj_lang": None,
+            "obj_direction": None, "graph": None,
+        },
+        {
+            "subj": "_:y", "pred": "http://e/name", "obj_kind": "iri",
+            "obj_value": "http://e/alice", "obj_type": None,
+            "obj_lang": None, "obj_direction": None, "graph": None,
+        },
+    ]
+    kernel_out = skolemize_turn_rows(kernel_rows, "c1", 0)
+    assert sorted(
+        (r["subj"], r["pred"], r["obj_kind"], r["obj_value"])
+        for r in kernel_out
+    ) == sorted((r.subj, r.pred, r.obj_kind, r.obj_value) for r in a)
+
+    # poison turn: blank labels untouched, error_code set on every row
+    c = by_turn[("c2", 1)]
+    assert all(r.error_code == TOO_COMPLEX for r in c)
+    assert all(r.subj.startswith("_:") for r in c)
+
+
+def test_skolemize_plan_is_single_shuffle(spark):
+    rows = [_row("c1", 0, "_:x", "http://e/p", "v", kind="literal")]
+    df = spark.createDataFrame(rows, _COLS)
+    plan = (
+        skolemize_triples(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_canonical_nquads_plan_is_single_shuffle(spark):

@@ -444,6 +444,91 @@ def write_canonical_nquads(out_dir: str) -> None:
     )
 
 
+# ---------------------------------------------------------- skolemization
+
+def write_skolemized(out_dir: str) -> None:
+    """Kernel-only mirror of pipeline/canonical.skolemize_triples: group
+    the golden triples per turn and run the shared skolemize_turn_rows
+    kernel. Independent property check: skolem IRIs must be invariant
+    under blank-node relabeling + row shuffling (they embed the RDFC-1.0
+    canonical label, a pure function of graph structure)."""
+    import random as _random
+
+    from json_ld_spark.pipeline.canonical import skolemize_turn_rows
+    from json_ld_spark.pipeline.reconstruct import (
+        _TRIPLE_FIELDS,
+        _clean_rows,
+    )
+
+    t = pd.read_parquet(os.path.join(out_dir, "triples.parquet"))
+    t = t[t["error_code"].isna()]
+    rows_out: list[tuple] = []
+    rng = _random.Random(20260818)
+    n_checked = 0
+    for (conv_id, turn_idx), g in t.groupby(["conv_id", "turn_idx"], sort=True):
+        rows = _clean_rows(g)
+        skol = skolemize_turn_rows(rows, conv_id, int(turn_idx))
+
+        labels = sorted({
+            v for r in rows
+            for v in (
+                r["subj"],
+                r["obj_value"] if r["obj_kind"] != "literal" else None,
+                r["graph"],
+            )
+            if isinstance(v, str) and v.startswith("_:")
+        })
+        if labels:
+            perm = labels[:]
+            rng.shuffle(perm)
+            mapping = {
+                old: f"_:skolrelab{i}_{rng.randrange(10**6)}"
+                for i, old in enumerate(perm)
+            }
+            relab = []
+            for r in rows:
+                r = dict(r)
+                if r["subj"] in mapping:
+                    r["subj"] = mapping[r["subj"]]
+                if r["obj_kind"] != "literal" and r["obj_value"] in mapping:
+                    r["obj_value"] = mapping[r["obj_value"]]
+                if r["graph"] in mapping:
+                    r["graph"] = mapping[r["graph"]]
+                relab.append(r)
+            rng.shuffle(relab)
+            key = lambda r: tuple(repr(r[k]) for k in _TRIPLE_FIELDS)  # noqa: E731
+            assert sorted(
+                skolemize_turn_rows(relab, conv_id, int(turn_idx)), key=key
+            ) == sorted(skol, key=key), (
+                f"skolemization not label-invariant for ({conv_id}, {turn_idx})"
+            )
+            n_checked += 1
+
+        for r in skol:
+            rows_out.append(
+                (conv_id, int(turn_idx))
+                + tuple(r[k] for k in _TRIPLE_FIELDS)
+                + (r["error_code"],)
+            )
+
+    names = ["conv_id", "turn_idx"] + _TRIPLE_FIELDS + ["error_code"]
+    arrays = [
+        pa.array([r[0] for r in rows_out], type=pa.string()),
+        pa.array([r[1] for r in rows_out], type=pa.int32()),
+    ] + [
+        pa.array([r[i] for r in rows_out], type=pa.string())
+        for i in range(2, len(names))
+    ]
+    pq.write_table(
+        pa.Table.from_arrays(arrays, names=names),
+        os.path.join(out_dir, "skolemized.parquet"),
+    )
+    print(
+        f"wrote skolemized: {len(rows_out)} rows "
+        f"({n_checked} turns invariance-checked)"
+    )
+
+
 # ------------------------------------------------------------ error stats
 
 def write_error_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
@@ -1171,6 +1256,7 @@ def main() -> int:
     write_compacted_docs(transcripts, out_dir)
     write_fromrdf_stats(out_dir)
     write_canonical_nquads(out_dir)
+    write_skolemized(out_dir)
     write_error_stats(transcripts, out_dir)
     write_nodes_edges(rows, out_dir)
     write_pagerank(out_dir)
