@@ -142,6 +142,22 @@ def canonical_triples(triples, max_perms: int = 5040):
     deterministic comparator that may report false inequality for
     adversarial highly-symmetric graphs, never false equality.
     """
+    return _canonical_core(triples, max_perms)[0]
+
+
+def canonical_label_assignment(triples, max_perms: int = 5040) -> dict:
+    """The ``old label → _:c<i>`` mapping behind :func:`canonical_triples`
+    (the one whose serialization wins the within-class minimization).
+    Relabeling rows through it BEFORE reconstruction makes every
+    downstream artifact — node sort order, list items, fingerprints — a
+    pure function of graph structure, with the same exact-under-
+    ``max_perms`` guarantee (past the cap the intra-class assignment
+    falls back to sorted original labels: deterministic, label-
+    dependent)."""
+    return _canonical_core(triples, max_perms)[1]
+
+
+def _canonical_core(triples, max_perms: int):
     from itertools import permutations, product as iproduct
     from math import factorial
 
@@ -150,15 +166,26 @@ def canonical_triples(triples, max_perms: int = 5040):
     def is_bn(v):
         return isinstance(v, str) and v.startswith("_:")
 
+    def bn_pos(t, k, v):
+        # obj_value is a blank-node POSITION only for non-literal rows: a
+        # string literal whose text happens to start with "_:" must never
+        # be relabeled or matched against blank labels
+        return is_bn(v) and (
+            k != "obj_value" or t.get("obj_kind") != "literal"
+        )
+
     rows = [dict(t) for t in triples]
     labels = sorted({
-        v for t in rows for k in _BN_KEYS if is_bn(v := t.get(k))
+        v
+        for t in rows
+        for k in _BN_KEYS
+        if bn_pos(t, k, v := t.get(k))
     })
 
     def serialize(mapping):
         out = [
             tuple(
-                (k, mapping.get(v, v) if k in _BN_KEYS else v)
+                (k, mapping.get(v, v) if bn_pos(t, k, v) else v)
                 for k, v in sorted(t.items())
             )
             for t in rows
@@ -166,7 +193,7 @@ def canonical_triples(triples, max_perms: int = 5040):
         return sorted(out, key=repr)
 
     if not labels:
-        return serialize({})
+        return serialize({}), {}
 
     # --- signature refinement to a fixpoint -------------------------------
     cls = {l: 0 for l in labels}
@@ -175,12 +202,14 @@ def canonical_triples(triples, max_perms: int = 5040):
         for l in labels:
             incident = []
             for t in rows:
-                if not any(t.get(k) == l for k in _BN_KEYS):
+                if not any(
+                    t.get(k) == l and bn_pos(t, k, l) for k in _BN_KEYS
+                ):
                     continue
                 incident.append(tuple(
                     (k, "@self" if v == l
                      else (f"@c{cls[v]}" if is_bn(v) else v))
-                    if k in _BN_KEYS else (k, v)
+                    if bn_pos(t, k, v) else (k, v)
                     for k, v in sorted(t.items())
                 ))
             sigs[l] = (cls[l], tuple(sorted(incident, key=repr)))
@@ -212,7 +241,7 @@ def canonical_triples(triples, max_perms: int = 5040):
             break
 
     if n_perms <= max_perms:
-        best = None
+        best = best_mapping = None
         for combo in iproduct(
             *[permutations(sorted(groups[c])) for c in class_ids]
         ):
@@ -222,11 +251,11 @@ def canonical_triples(triples, max_perms: int = 5040):
                     mapping[l] = f"_:c{offsets[c] + i}"
             s = serialize(mapping)
             if best is None or repr(s) < repr(best):
-                best = s
-        return best
+                best, best_mapping = s, mapping
+        return best, best_mapping
 
     mapping = {}
     for c in class_ids:
         for i, l in enumerate(sorted(groups[c])):
             mapping[l] = f"_:c{offsets[c] + i}"
-    return serialize(mapping)
+    return serialize(mapping), mapping

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import re
 from typing import Any
 
 import pandas as pd
@@ -57,7 +56,21 @@ _TRIPLE_FIELDS = [
     "obj_direction", "graph",
 ]
 
-_BNODE_RE = re.compile(r'"_:([^"]+)"')
+def _relabel_rows(rows: list[dict], mapping: dict[str, str]) -> list[dict]:
+    """Apply a blank-label mapping at blank-node POSITIONS only: subj and
+    graph are never literals, but obj_value is relabeled solely for
+    obj_kind == "bnode" — a string literal whose text starts with "_:"
+    must pass through untouched."""
+    out = []
+    for t in rows:
+        t = dict(t)
+        t["subj"] = mapping.get(t["subj"], t["subj"])
+        if t["obj_kind"] == "bnode":
+            t["obj_value"] = mapping.get(t["obj_value"], t["obj_value"])
+        if t.get("graph") is not None:
+            t["graph"] = mapping.get(t["graph"], t["graph"])
+        out.append(t)
+    return out
 
 
 def _count_lists(element: Any) -> int:
@@ -75,44 +88,46 @@ def _count_lists(element: Any) -> int:
     return n
 
 
-def _canonical_json_fp(rebuilt: Any) -> str:
-    """md5 of the canonical JSON with blank labels renamed by first
-    appearance in the sorted serialization — a bit-exact pin of the
-    reconstructed structure that is invariant to input blank labels."""
-    s = json.dumps(rebuilt, sort_keys=True, separators=(",", ":"))
-    mapping: dict[str, str] = {}
-
-    def rename(m: re.Match) -> str:
-        label = m.group(1)
-        if label not in mapping:
-            mapping[label] = f"c{len(mapping)}"
-        return f'"_:{mapping[label]}"'
-
-    return hashlib.md5(_BNODE_RE.sub(rename, s).encode()).hexdigest()
-
-
 def reconstruct_turn_stats(rows: list[dict]) -> tuple:
     """Kernel core, shared verbatim by the Spark operator, the golden
     writer, and tests: one turn's triple rows (dicts with the
-    ``_TRIPLE_FIELDS`` keys) → the stats tuple. Sorts rows canonically so
-    the result is a pure function of the row set."""
-    from ..kernel.expand_doc import expanded_to_triples
-    from ..kernel.from_rdf import canonical_triples, triples_to_expanded
+    ``_TRIPLE_FIELDS`` keys) → the stats tuple.
 
-    rows = sorted(
-        rows, key=lambda t: tuple(repr(t[k]) for k in _TRIPLE_FIELDS)
+    Rows are relabeled to their canonical blank labels BEFORE
+    reconstruction, so the rebuilt document — node sort order, list
+    items, and the md5 fingerprint of its canonical JSON — is a pure
+    function of graph structure (exact under canonical_label_assignment's
+    ``max_perms``; past that cap the assignment is deterministic but
+    label-dependent, so a poison graph can only report a false
+    "changed" in a cross-snapshot diff, never a false "unchanged").
+    Renaming structurally (not textually) means a string literal whose
+    text starts with "_:" is never touched and cannot collide another
+    document's fingerprint."""
+    from ..kernel.expand_doc import expanded_to_triples
+    from ..kernel.from_rdf import (
+        canonical_label_assignment,
+        canonical_triples,
+        triples_to_expanded,
+    )
+
+    rows = _relabel_rows(
+        sorted(rows, key=lambda t: tuple(repr(t[k]) for k in _TRIPLE_FIELDS)),
+        canonical_label_assignment(rows),
     )
     rebuilt = triples_to_expanded([dict(t) for t in rows])
     again = expanded_to_triples(rebuilt)
     ok = 1 if canonical_triples(again) == canonical_triples(rows) else 0
     n_graphs = sum(1 for n in rebuilt if "@graph" in n)
+    fp = hashlib.md5(
+        json.dumps(rebuilt, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()
     return (
         len(rebuilt),
         n_graphs,
         _count_lists(rebuilt),
         len(rows),
         ok,
-        _canonical_json_fp(rebuilt),
+        fp,
     )
 
 

@@ -81,3 +81,48 @@ def test_named_graph_and_list_reconstruction():
     assert n_graphs == 1
     assert n_triples == 6
     assert len(fp) == 32
+
+
+def test_bnode_prefixed_literal_not_confused_with_labels():
+    """A string literal whose TEXT starts with "_:" is not a blank node:
+    it must not break the roundtrip verdict (false failure), must not be
+    relabeled into the fingerprint (false collision), and two graphs
+    differing only in such a literal must compare unequal."""
+    from json_ld_spark.kernel.from_rdf import canonical_triples
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    # list whose first item is the literal "_:b0" — fromRdf re-mints list
+    # bnodes as _:b0/_:b1, textually colliding with the literal
+    rows = [
+        _row("http://s", "http://p", "bnode", "_:l0"),
+        _row("_:l0", RDF + "first", "literal", "_:b0"),
+        _row("_:l0", RDF + "rest", "bnode", "_:l1"),
+        _row("_:l1", RDF + "first", "literal", "two"),
+        _row("_:l1", RDF + "rest", "iri", RDF + "nil"),
+    ]
+    st = reconstruct_turn_stats(rows)
+    assert st[4] == 1, "roundtrip must hold despite the '_:' literal"
+    assert st[2] == 1  # the list is reconstructed
+
+    # literal content must distinguish graphs (no joint relabeling)
+    r1 = [_row("http://s", "http://p", "literal", "_:b0")]
+    r2 = [_row("http://s", "http://p", "literal", "_:q7")]
+    assert canonical_triples(r1) != canonical_triples(r2)
+    assert reconstruct_turn_stats(r1)[5] != reconstruct_turn_stats(r2)[5]
+
+
+def test_fingerprint_invariant_under_relabeling_distinct_nodes():
+    """fromrdf_fp is computed after canonical relabeling, so node sort
+    order cannot leak the input labels (two relabelings of content-
+    distinguishable nodes used to sort differently and hash apart)."""
+    r1 = [
+        _row("_:a", "http://p", "literal", "1"),
+        _row("_:b", "http://p", "literal", "2"),
+        _row("_:a", "http://q", "bnode", "_:b"),
+    ]
+    r2 = [
+        _row("_:z", "http://p", "literal", "1"),
+        _row("_:y", "http://p", "literal", "2"),
+        _row("_:z", "http://q", "bnode", "_:y"),
+    ]
+    assert reconstruct_turn_stats(r1) == reconstruct_turn_stats(r2)
