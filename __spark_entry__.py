@@ -1249,9 +1249,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE i / (sa.sz + sb.sz - i) >= 0.5 ORDER BY doc_a, doc_b"
         ),
         "dedup_embedding": (
+            # mirrors the operator's max_block=4096 degenerate-label cap so
+            # the parity contract holds at ANY scale, not only below it
             "WITH e AS (SELECT vec_id, label, "
             "list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings), "
-            "n AS (SELECT vec_id, label, emb, sqrt(list_inner_product(emb, emb)) AS nrm FROM e) "
+            "n0 AS (SELECT vec_id, label, emb, sqrt(list_inner_product(emb, emb)) AS nrm, "
+            "count(*) OVER (PARTITION BY label) AS blk_n FROM e), "
+            "n AS (SELECT * FROM n0 WHERE blk_n <= 4096) "
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
             "round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine "
             "FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id "

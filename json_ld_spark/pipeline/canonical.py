@@ -24,7 +24,6 @@ pipeline's per-row error philosophy.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -38,7 +37,7 @@ from ..kernel.canonicalize import (
     CanonicalizationTooComplex,
     canonicalize_quads,
 )
-from .reconstruct import _TRIPLE_FIELDS, _clean_cell
+from .reconstruct import _TRIPLE_FIELDS, map_turn_groups
 
 CANONICAL_SCHEMA = StructType(
     [
@@ -69,58 +68,16 @@ def canonical_turn_lines(
 
 def canonical_nquads(triples: DataFrame, max_work: int = 400) -> DataFrame:
     """Per-turn canonical N-Quads (see module docstring for the plan
-    shape). Quarantined extraction rows are excluded — they carry no
-    triple."""
-    spark = triples.sparkSession
-    # user-specified numPartitions: exempt from AQE's byte-based
-    # coalescing, which would otherwise fold this small-bytes/high-CPU
-    # shuffle into too few tasks (cost here is per-row Python kernel work)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    clean = (
-        triples.where(F.col("error_code").isNull())
-        .select("conv_id", "turn_idx", *_TRIPLE_FIELDS)
-        .repartition(n_parts, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-    )
-    out_cols = [f.name for f in CANONICAL_SCHEMA.fields]
+    shape; shared :func:`..pipeline.reconstruct.map_turn_groups` walker).
+    Quarantined extraction rows are excluded — they carry no triple."""
 
-    def per_partition(batches):
-        pending_key: tuple | None = None
-        pending_rows: list[dict] = []
+    def finish(conv_id, turn_idx, rows):
+        return [
+            (conv_id, turn_idx, i, ln, err)
+            for i, ln, err in canonical_turn_lines(rows, max_work=max_work)
+        ]
 
-        def finish(key: tuple) -> list[tuple]:
-            conv_id, turn_idx = key
-            return [
-                (conv_id, int(turn_idx), i, ln, err)
-                for i, ln, err in canonical_turn_lines(
-                    pending_rows, max_work=max_work
-                )
-            ]
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            conv = pdf["conv_id"].to_numpy()
-            turn = pdf["turn_idx"].to_numpy()
-            cols = [pdf[k].to_numpy() for k in _TRIPLE_FIELDS]
-            out: list[tuple] = []
-            for i in range(len(pdf)):
-                key = (conv[i], turn[i])
-                row = {}
-                for k, c in zip(_TRIPLE_FIELDS, cols):
-                    row[k] = _clean_cell(c[i])
-                if key == pending_key:
-                    pending_rows.append(row)
-                else:
-                    if pending_key is not None:
-                        out.extend(finish(pending_key))
-                    pending_key, pending_rows = key, [row]
-            if out:
-                yield pd.DataFrame(out, columns=out_cols)
-        if pending_key is not None:
-            yield pd.DataFrame(finish(pending_key), columns=out_cols)
-
-    return clean.mapInPandas(per_partition, schema=CANONICAL_SCHEMA)
+    return map_turn_groups(triples, finish, CANONICAL_SCHEMA)
 
 
 SKOLEM_SCHEMA = StructType(
@@ -184,59 +141,23 @@ def skolemize_turn_rows(
 
 
 def skolemize_triples(triples: DataFrame, max_work: int = 400) -> DataFrame:
-    """Per-turn skolemization of the triple table (same single-shuffle
-    streaming-group plan as ``canonical_nquads``; see
-    ``skolemize_turn_rows`` for the semantics). Output keeps the triple
-    schema — a drop-in bnode-free replacement for downstream joins."""
-    spark = triples.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    clean = (
-        triples.where(F.col("error_code").isNull())
-        .select("conv_id", "turn_idx", *_TRIPLE_FIELDS)
-        .repartition(n_parts, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-    )
-    out_cols = [f.name for f in SKOLEM_SCHEMA.fields]
+    """Per-turn skolemization of the triple table (shared
+    :func:`..pipeline.reconstruct.map_turn_groups` single-shuffle plan;
+    see ``skolemize_turn_rows`` for the semantics). Output keeps the
+    triple schema — a drop-in bnode-free replacement for downstream
+    joins."""
 
-    def per_partition(batches):
-        pending_key: tuple | None = None
-        pending_rows: list[dict] = []
+    def finish(conv_id, turn_idx, rows):
+        return [
+            (conv_id, turn_idx)
+            + tuple(r[k] for k in _TRIPLE_FIELDS)
+            + (r["error_code"],)
+            for r in skolemize_turn_rows(
+                rows, conv_id, turn_idx, max_work=max_work
+            )
+        ]
 
-        def finish(key: tuple) -> list[tuple]:
-            conv_id, turn_idx = key
-            return [
-                (conv_id, int(turn_idx))
-                + tuple(r[k] for k in _TRIPLE_FIELDS)
-                + (r["error_code"],)
-                for r in skolemize_turn_rows(
-                    pending_rows, conv_id, int(turn_idx), max_work=max_work
-                )
-            ]
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            conv = pdf["conv_id"].to_numpy()
-            turn = pdf["turn_idx"].to_numpy()
-            cols = [pdf[k].to_numpy() for k in _TRIPLE_FIELDS]
-            out: list[tuple] = []
-            for i in range(len(pdf)):
-                key = (conv[i], turn[i])
-                row = {}
-                for k, c in zip(_TRIPLE_FIELDS, cols):
-                    row[k] = _clean_cell(c[i])
-                if key == pending_key:
-                    pending_rows.append(row)
-                else:
-                    if pending_key is not None:
-                        out.extend(finish(pending_key))
-                    pending_key, pending_rows = key, [row]
-            if out:
-                yield pd.DataFrame(out, columns=out_cols)
-        if pending_key is not None:
-            yield pd.DataFrame(finish(pending_key), columns=out_cols)
-
-    return clean.mapInPandas(per_partition, schema=SKOLEM_SCHEMA)
+    return map_turn_groups(triples, finish, SKOLEM_SCHEMA)
 
 
 def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:

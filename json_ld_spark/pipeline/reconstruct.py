@@ -148,21 +148,24 @@ def _clean_rows(pdf: pd.DataFrame) -> list[dict]:
     return rows
 
 
-def reconstruct_turn_docs(triples: DataFrame) -> DataFrame:
-    """Per-turn fromRdf→toRdf roundtrip stats over the triple table.
+def map_turn_groups(triples: DataFrame, finish_group, schema) -> DataFrame:
+    """The shared single-shuffle streaming-group plan behind every
+    per-turn kernel operator (``reconstruct_turn_docs``,
+    ``pipeline/canonical.canonical_nquads`` / ``skolemize_triples``).
 
-    Quarantine rows are excluded (they carry no triple). One row per
-    turn: reconstructed node/graph/list counts, the input triple count,
-    the roundtrip flag, and the blank-label-invariant md5 of the
-    reconstructed flattened document.
+    Quarantine rows are excluded (they carry no triple), then: one hash
+    repartition on (conv_id, turn_idx) + sort-within-partitions + a
+    streaming ``mapInPandas`` that walks sorted Arrow batches and
+    stitches the one group that can straddle a batch boundary.
+    ``finish_group(conv_id, turn_idx, rows) -> list[tuple]`` emits a
+    group's output tuples matching ``schema``.
 
-    Plan: NOT ``groupBy().applyInPandas`` — that invokes Python once per
-    group, and with 10^12 tiny turn groups the per-invocation overhead
-    dominates (measured 71s vs 4s at sf0.1). Instead one hash
-    repartition on the turn key + sort-within-partitions + a streaming
-    ``mapInPandas`` that walks sorted Arrow batches and stitches the one
-    group that can straddle a batch boundary — same single shuffle,
-    per-group cost collapses to a dict-records slice.
+    Plan rationale: NOT ``groupBy().applyInPandas`` — that invokes Python
+    once per group, and with 10^12 tiny turn groups the per-invocation
+    overhead dominates (measured 71s vs 4s at sf0.1 on fromRdf). Same
+    single shuffle, per-group cost collapses to a dict-records slice.
+    Per-group input is bounded by one turn's triples, so the stage has no
+    skew exposure at any corpus size.
     """
     spark = triples.sparkSession
     # explicit partition count: AQE's byte-sized coalescing would fold this
@@ -176,17 +179,14 @@ def reconstruct_turn_docs(triples: DataFrame) -> DataFrame:
         .repartition(n_parts, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
     )
-    out_cols = [f.name for f in RECONSTRUCT_SCHEMA.fields]
+    out_cols = [f.name for f in schema.fields]
 
     def per_partition(batches):
         pending_key: tuple | None = None
         pending_rows: list[dict] = []
 
-        def finish(key: tuple) -> tuple:
-            conv_id, turn_idx = key
-            return (conv_id, int(turn_idx)) + reconstruct_turn_stats(
-                pending_rows
-            )
+        def finish(key: tuple) -> list[tuple]:
+            return finish_group(key[0], int(key[1]), pending_rows)
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -196,7 +196,7 @@ def reconstruct_turn_docs(triples: DataFrame) -> DataFrame:
             conv = pdf["conv_id"].to_numpy()
             turn = pdf["turn_idx"].to_numpy()
             cols = [pdf[k].to_numpy() for k in _TRIPLE_FIELDS]
-            out = []
+            out: list[tuple] = []
             for i in range(len(pdf)):
                 key = (conv[i], turn[i])
                 row = {}
@@ -206,11 +206,24 @@ def reconstruct_turn_docs(triples: DataFrame) -> DataFrame:
                     pending_rows.append(row)
                 else:
                     if pending_key is not None:
-                        out.append(finish(pending_key))
+                        out.extend(finish(pending_key))
                     pending_key, pending_rows = key, [row]
             if out:
                 yield pd.DataFrame(out, columns=out_cols)
         if pending_key is not None:
-            yield pd.DataFrame([finish(pending_key)], columns=out_cols)
+            yield pd.DataFrame(finish(pending_key), columns=out_cols)
 
-    return clean.mapInPandas(per_partition, schema=RECONSTRUCT_SCHEMA)
+    return clean.mapInPandas(per_partition, schema=schema)
+
+
+def reconstruct_turn_docs(triples: DataFrame) -> DataFrame:
+    """Per-turn fromRdf→toRdf roundtrip stats over the triple table
+    (:func:`map_turn_groups` plan). One row per turn: reconstructed
+    node/graph/list counts, the input triple count, the roundtrip flag,
+    and the blank-label-invariant md5 of the reconstructed flattened
+    document."""
+
+    def finish(conv_id, turn_idx, rows):
+        return [(conv_id, turn_idx) + reconstruct_turn_stats(rows)]
+
+    return map_turn_groups(triples, finish, RECONSTRUCT_SCHEMA)

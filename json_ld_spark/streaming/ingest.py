@@ -28,6 +28,8 @@ Table B marks these rows as pipeline scaffolding, not reference algorithms.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -221,13 +223,28 @@ def run_stream_transcripts_to_snapshots(
     accumulated snapshot deltas into nodes/edges in O(delta + affected
     blocks). Stream and consolidation never share mutable state: the
     snapshot id sequence is the only coupling, which is what makes the
-    composition exactly-once end-to-end."""
+    composition exactly-once end-to-end.
+
+    The idempotency tag embeds the streaming QUERY id (minted when the
+    checkpoint is created, persisted in ``<checkpoint>/metadata``, stable
+    across restarts of the same checkpoint): batch ids alone are scoped
+    to the checkpoint directory, so a wiped or relocated checkpoint would
+    restart them at 0 and the replay guard would silently discard the new
+    batches as already-committed ones."""
     transcripts = stream_transcript_source(
         spark, source_dir, max_files_per_trigger=max_files_per_trigger
     )
+    query_id: list[str] = []
 
     def commit(batch_df, batch_id: int) -> None:
-        store.append(batch_df, tag=f"transcripts-batch-{batch_id}")
+        if not query_id:
+            # read lazily: Spark writes the metadata file at query start,
+            # before the first batch runs (foreachBatch runs driver-side)
+            with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+                query_id.append(json.load(fh)["id"])
+        store.append(
+            batch_df, tag=f"transcripts-{query_id[0]}-batch-{batch_id}"
+        )
 
     writer = (
         transcripts.writeStream.foreachBatch(commit)

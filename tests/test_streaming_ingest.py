@@ -185,3 +185,47 @@ def test_stream_feeds_incremental_entity_pipeline(spark, sf_dir, tmp_path):
     drain()
     noop = run_incremental_snapshot_pipeline(spark, store, warehouse)
     assert noop.buckets_processed == 0
+
+
+def test_stream_snapshot_commits_survive_checkpoint_wipe(spark, tmp_path):
+    """Losing (or relocating) the checkpoint restarts micro-batch ids at
+    0; the snapshot idempotency tag must scope them to the query lineage
+    so the replay guard cannot mistake NEW batches for already-committed
+    ones and silently drop their rows."""
+    from json_ld_spark.pipeline.snapshots import ParquetSnapshotStore
+    from json_ld_spark.streaming.ingest import (
+        run_stream_transcripts_to_snapshots,
+    )
+
+    source = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(source, exist_ok=True)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "store"))
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+
+    def land(conv_id):
+        df = spark.createDataFrame(
+            [(conv_id, 0, "user", "hello", None)], schema
+        ).withColumn("ts", F.current_timestamp())
+        df.coalesce(1).write.mode("append").parquet(source)
+
+    def drain():
+        q = run_stream_transcripts_to_snapshots(
+            spark, source, store, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+
+    land("wipe-c1")
+    drain()
+    assert store.read().where(F.col("conv_id") == "wipe-c1").count() == 1
+
+    # simulate checkpoint loss: batch ids restart at 0 on the next drain
+    shutil.rmtree(ckpt)
+    land("wipe-c2")
+    drain()
+    got = store.read()
+    # the fresh lineage re-reads the backlog (at-least-once after losing
+    # the checkpoint — expected); what it must NOT do is drop new data
+    assert got.where(F.col("conv_id") == "wipe-c2").count() >= 1
