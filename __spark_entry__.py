@@ -297,6 +297,75 @@ def _kg_graph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
+def _kg_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot KG diff (pipeline/canonical.graph_diff): per-turn
+    added/removed/changed/unchanged/unknown verdicts between two
+    extractions, compared by RDFC-1.0 canonical fingerprint so a
+    re-extraction that merely mints fresh blank labels is correctly
+    "unchanged" — the incremental-curation primitive text diffing cannot
+    express. The "new" snapshot is a deterministic mutation of the base
+    corpus keyed on md5(conv_id:turn_idx) mod 10: bucket 0 removed,
+    bucket 1 literal-edited, bucket 2 blank-relabeled (must come back
+    unchanged), bucket 3 also duplicated under a fresh conv_id (added).
+    Oracle: Spark-free kernel golden applying the same mutation
+    (tools/make_golden.write_graph_diff)."""
+    from json_ld_spark.pipeline.canonical import graph_diff
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    old = extract_triples(synth_transcripts(spark, sf_dir))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", "conv_id", F.col("turn_idx").cast("string")
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    base = old.withColumn("bucket", bucket)
+    kept = base.where(F.col("bucket") != 0)
+    edited = kept.withColumn(
+        "obj_value",
+        F.when(
+            (F.col("bucket") == 1) & (F.col("obj_kind") == "literal"),
+            F.concat(F.col("obj_value"), F.lit(" (edited)")),
+        ).otherwise(F.col("obj_value")),
+    )
+
+    def _relabel(col, is_bnode):
+        return F.when(
+            (F.col("bucket") == 2) & is_bnode,
+            F.concat(F.lit("_:zz"), F.substring(col, 3, 1 << 20)),
+        ).otherwise(col)
+
+    relabeled = (
+        edited.withColumn(
+            "subj", _relabel(F.col("subj"), F.col("subj").startswith("_:"))
+        )
+        .withColumn(
+            "obj_value",
+            _relabel(F.col("obj_value"), F.col("obj_kind") == F.lit("bnode")),
+        )
+        .withColumn(
+            "graph",
+            _relabel(F.col("graph"), F.col("graph").startswith("_:")),
+        )
+    )
+    added = base.where(F.col("bucket") == 3).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-added"))
+    )
+    new = relabeled.drop("bucket").unionByName(added.drop("bucket"))
+    return graph_diff(old, new).orderBy("conv_id", "turn_idx")
+
+
 def _kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental entity layer end-to-end (pipeline/job.py
     run_incremental_snapshot_pipeline): the corpus splits into two
@@ -832,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_from_rdf": _kg_from_rdf,
         "kg_canonical_nquads": _kg_canonical_nquads,
         "kg_graph_dedup": _kg_graph_dedup,
+        "kg_graph_diff": _kg_graph_diff,
         "kg_skolemized": _kg_skolemized,
         "kg_nodes_incremental": _kg_nodes_incremental,
         "kg_nodes": _kg_nodes,
@@ -1039,6 +1109,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, line_idx, nquad, error_code "
             f"FROM read_parquet('{_GOLDEN}/canonical_nquads.parquet') "
             "ORDER BY conv_id, turn_idx, line_idx"
+        ),
+        "kg_graph_diff": (
+            "SELECT conv_id, turn_idx, status, old_fp, new_fp, "
+            "old_n_quads, new_n_quads "
+            f"FROM read_parquet('{_GOLDEN}/graph_diff.parquet') "
+            "ORDER BY conv_id, turn_idx"
         ),
         "kg_skolemized": (
             "SELECT conv_id, turn_idx, subj, pred, obj_kind, obj_value, "

@@ -160,6 +160,89 @@ def skolemize_triples(triples: DataFrame, max_work: int = 400) -> DataFrame:
     return map_turn_groups(triples, finish, SKOLEM_SCHEMA)
 
 
+def _turn_fingerprints(triples: DataFrame, max_work: int = 400) -> DataFrame:
+    """Per-turn canonical content address: ``fp = md5(sorted canonical
+    N-Quad lines)`` — equal iff the turns carry isomorphic RDF datasets.
+    One grouped aggregate over :func:`canonical_nquads` (lines are already
+    code-point sorted, so ``sort_array(collect_list(nquad))`` rebuilds the
+    deterministic order without the line_idx column). A quarantined
+    (too-automorphic) turn keeps its row with a NULL fp — callers decide
+    whether to exclude (dedup) or report it (diff)."""
+    lines = canonical_nquads(triples, max_work=max_work)
+    return lines.groupBy("conv_id", "turn_idx").agg(
+        F.when(
+            F.max("error_code").isNull(),
+            F.md5(F.concat_ws("\n", F.sort_array(F.collect_list("nquad")))),
+        ).alias("graph_fp"),
+        F.count("nquad").alias("n_quads"),
+    )
+
+
+DIFF_SCHEMA_COLS = [
+    "conv_id", "turn_idx", "status",
+    "old_fp", "new_fp", "old_n_quads", "new_n_quads",
+]
+
+
+def graph_diff(
+    old_triples: DataFrame, new_triples: DataFrame, max_work: int = 400
+) -> DataFrame:
+    """Cross-snapshot KG diff: per-turn verdicts between two extractions.
+
+    ``status`` per (conv_id, turn_idx):
+
+    - ``added`` / ``removed`` — the turn exists on one side only;
+    - ``unchanged`` — both sides carry ISOMORPHIC RDF datasets (canonical
+      fingerprints equal), so re-extraction minting fresh blank labels is
+      correctly reported as no change — the verdict text-level hashing
+      cannot give;
+    - ``changed`` — both present, datasets not isomorphic;
+    - ``unknown`` — a side was quarantined as too automorphic to
+      canonicalize within ``max_work``: no isomorphism verdict exists, and
+      an honest diff must say so rather than guess.
+
+    This is the incremental-curation primitive: at 100 TB the ``old`` side's
+    fingerprints would be the persisted output of the previous run (the
+    aggregate below is exactly what to persist), so a daily diff costs one
+    canonicalization pass over the NEW snapshot plus a full-outer
+    sort-merge join on the turn key — both sides arrive hash-partitioned
+    on that key from their own aggregates, so the join adds no exchange.
+    """
+    o = _turn_fingerprints(old_triples, max_work=max_work).select(
+        "conv_id",
+        "turn_idx",
+        F.col("graph_fp").alias("old_fp"),
+        F.col("n_quads").alias("old_n_quads"),
+        F.lit(True).alias("in_old"),
+    )
+    n = _turn_fingerprints(new_triples, max_work=max_work).select(
+        "conv_id",
+        "turn_idx",
+        F.col("graph_fp").alias("new_fp"),
+        F.col("n_quads").alias("new_n_quads"),
+        F.lit(True).alias("in_new"),
+    )
+    status = (
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fp").isNull() | F.col("new_fp").isNull(),
+            F.lit("unknown"),
+        )
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, ["conv_id", "turn_idx"], "full_outer").select(
+        "conv_id",
+        "turn_idx",
+        status.alias("status"),
+        "old_fp",
+        "new_fp",
+        "old_n_quads",
+        "new_n_quads",
+    )
+
+
 def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:
     """Graph-level turn dedup: two turns are duplicates iff their RDF
     datasets are isomorphic — exactly when their canonical N-Quads are
@@ -182,14 +265,8 @@ def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:
     ``canonical_nquads``) are excluded: no isomorphism verdict exists for
     them.
     """
-    lines = canonical_nquads(triples, max_work=max_work).where(
-        F.col("error_code").isNull()
-    )
-    fps = lines.groupBy("conv_id", "turn_idx").agg(
-        F.md5(
-            F.concat_ws("\n", F.sort_array(F.collect_list("nquad")))
-        ).alias("graph_fp"),
-        F.count(F.lit(1)).alias("n_quads"),
+    fps = _turn_fingerprints(triples, max_work=max_work).where(
+        F.col("graph_fp").isNotNull()
     )
     reps = fps.groupBy("graph_fp").agg(
         F.min(F.struct("conv_id", "turn_idx")).alias("rep"),

@@ -10,6 +10,7 @@ from json_ld_spark.pipeline.canonical import (
     canonical_nquads,
     canonical_turn_lines,
     graph_dedup,
+    graph_diff,
     skolemize_triples,
     skolemize_turn_rows,
 )
@@ -113,6 +114,45 @@ def test_graph_dedup_collapses_isomorphic_turns(spark):
     assert [r.keep for r in iso] == [True, False, False]
     assert out[("c3", 2)].keep and out[("c3", 2)].group_size == 1
     assert out[("c3", 2)].graph_fp != iso[0].graph_fp
+
+
+def test_graph_diff_statuses(spark):
+    old_rows = [
+        # unchanged-under-relabel: isomorphic datasets, different labels
+        _row("c1", 0, "_:x", "http://e/knows", "_:y", kind="bnode"),
+        _row("c1", 0, "_:y", "http://e/name", "http://e/alice"),
+        # changed: literal differs in new
+        _row("c2", 1, "http://e/s", "http://e/p", "v1", kind="literal"),
+        # removed: only in old
+        _row("c3", 2, "http://e/s", "http://e/p", "gone", kind="literal"),
+        # unknown: poison on the old side
+        *_poison_rows("c5", 4),
+    ]
+    new_rows = [
+        _row("c1", 0, "_:q", "http://e/knows", "_:r", kind="bnode"),
+        _row("c1", 0, "_:r", "http://e/name", "http://e/alice"),
+        _row("c2", 1, "http://e/s", "http://e/p", "v2", kind="literal"),
+        # added: only in new
+        _row("c4", 3, "http://e/s", "http://e/p", "fresh", kind="literal"),
+        *_poison_rows("c5", 4),
+    ]
+    old = spark.createDataFrame(old_rows, _COLS)
+    new = spark.createDataFrame(new_rows, _COLS)
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in graph_diff(old, new, max_work=50).collect()
+    }
+    assert out[("c1", 0)].status == "unchanged"
+    assert out[("c1", 0)].old_fp == out[("c1", 0)].new_fp
+    assert out[("c2", 1)].status == "changed"
+    assert out[("c2", 1)].old_fp != out[("c2", 1)].new_fp
+    assert out[("c3", 2)].status == "removed"
+    assert out[("c3", 2)].new_fp is None
+    assert out[("c4", 3)].status == "added"
+    assert out[("c4", 3)].old_fp is None and out[("c4", 3)].old_n_quads is None
+    assert out[("c5", 4)].status == "unknown"
+    assert out[("c5", 4)].old_fp is None and out[("c5", 4)].new_fp is None
+    assert len(out) == 5
 
 
 def test_skolemize_stable_across_relabeling(spark):

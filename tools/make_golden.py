@@ -444,6 +444,125 @@ def write_canonical_nquads(out_dir: str) -> None:
     )
 
 
+# ------------------------------------------------------------- graph diff
+
+def write_graph_diff(out_dir: str) -> None:
+    """Kernel-only mirror of __spark_entry__._kg_graph_diff: apply the
+    same deterministic snapshot mutation (md5(conv:turn) mod 10 buckets —
+    0 removed, 1 literal-edited, 2 blank-relabeled, 3 duplicated under a
+    fresh conv_id) to the golden triples, canonicalize each side per turn
+    with the Spark-free kernel, and diff the fingerprints. The
+    blank-relabeled bucket doubles as a built-in property check: every
+    one of its turns MUST come back "unchanged" (asserted)."""
+    import hashlib as _hashlib
+
+    from json_ld_spark.pipeline.canonical import canonical_turn_lines
+    from json_ld_spark.pipeline.reconstruct import _clean_rows
+
+    t = pd.read_parquet(os.path.join(out_dir, "triples.parquet"))
+    t = t[t["error_code"].isna()]
+
+    def bucket(conv_id, turn_idx) -> int:
+        h = _hashlib.md5(f"{conv_id}:{turn_idx}".encode()).hexdigest()
+        return int(h[:2], 16) % 10
+
+    def mutate(rows, b):
+        out = []
+        for r in rows:
+            r = dict(r)
+            if b == 1 and r["obj_kind"] == "literal":
+                r["obj_value"] = r["obj_value"] + " (edited)"
+            if b == 2:
+                if isinstance(r["subj"], str) and r["subj"].startswith("_:"):
+                    r["subj"] = "_:zz" + r["subj"][2:]
+                if r["obj_kind"] == "bnode":
+                    r["obj_value"] = "_:zz" + r["obj_value"][2:]
+                if isinstance(r.get("graph"), str) and r["graph"].startswith(
+                    "_:"
+                ):
+                    r["graph"] = "_:zz" + r["graph"][2:]
+            out.append(r)
+        return out
+
+    def fingerprint(rows):
+        lines = [
+            ln for _, ln, err in canonical_turn_lines(rows) if err is None
+        ]
+        if not lines:  # quarantined (too automorphic): no verdict exists
+            return None, 0
+        return (
+            _hashlib.md5("\n".join(lines).encode()).hexdigest(),
+            len(lines),
+        )
+
+    old_fp: dict[tuple, tuple] = {}
+    new_fp: dict[tuple, tuple] = {}
+    n_relabeled = 0
+    for (conv_id, turn_idx), g in t.groupby(["conv_id", "turn_idx"], sort=True):
+        key = (conv_id, int(turn_idx))
+        rows = _clean_rows(g)
+        b = bucket(conv_id, int(turn_idx))
+        old_fp[key] = fingerprint(rows)
+        if b != 0:
+            new_fp[key] = fingerprint(mutate(rows, b))
+        if b == 2:
+            n_relabeled += 1
+        if b == 3:
+            new_fp[(conv_id + "-added", int(turn_idx))] = fingerprint(rows)
+
+    rows_out = []
+    for key in sorted(old_fp.keys() | new_fp.keys()):
+        o, n = old_fp.get(key), new_fp.get(key)
+        if o is None:
+            status = "added"
+        elif n is None:
+            status = "removed"
+        elif o[0] is None or n[0] is None:
+            status = "unknown"
+        elif o[0] == n[0]:
+            status = "unchanged"
+        else:
+            status = "changed"
+        if status == "unchanged" or status == "changed":
+            b = bucket(*key)
+            if b == 2:
+                assert status == "unchanged", (
+                    f"relabeled turn {key} must be isomorphic"
+                )
+        rows_out.append(
+            key
+            + (status,)
+            + (o or (None, None))[:1]
+            + (n or (None, None))[:1]
+            + ((o[1] if o else None), (n[1] if n else None))
+        )
+    assert n_relabeled > 0, "mutation buckets must exercise the relabel path"
+
+    names = [
+        "conv_id", "turn_idx", "status",
+        "old_fp", "new_fp", "old_n_quads", "new_n_quads",
+    ]
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows_out], type=pa.string()),
+            pa.array([r[1] for r in rows_out], type=pa.int32()),
+            pa.array([r[2] for r in rows_out], type=pa.string()),
+            pa.array([r[3] for r in rows_out], type=pa.string()),
+            pa.array([r[4] for r in rows_out], type=pa.string()),
+            pa.array([r[5] for r in rows_out], type=pa.int64()),
+            pa.array([r[6] for r in rows_out], type=pa.int64()),
+        ],
+        names=names,
+    )
+    pq.write_table(table, os.path.join(out_dir, "graph_diff.parquet"))
+    from collections import Counter
+
+    print(
+        f"wrote graph_diff: {len(rows_out)} rows "
+        f"{dict(Counter(r[2] for r in rows_out))}"
+    )
+
+
 # ---------------------------------------------------------- skolemization
 
 def write_skolemized(out_dir: str) -> None:
@@ -1256,6 +1375,7 @@ def main() -> int:
     write_compacted_docs(transcripts, out_dir)
     write_fromrdf_stats(out_dir)
     write_canonical_nquads(out_dir)
+    write_graph_diff(out_dir)
     write_skolemized(out_dir)
     write_error_stats(transcripts, out_dir)
     write_nodes_edges(rows, out_dir)
