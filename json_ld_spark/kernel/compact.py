@@ -17,16 +17,21 @@ Property arrays compact with the WD's per-item term selection (§6.1):
 items group by the term each one selects, so a mixed-language array fans
 out across the context's language-bucket terms.
 
-Declared deviation (pinned by tests): document-relative (vocab=False)
-compaction keeps ABSOLUTE IRIs instead of making them base-relative (§6.3
-step 8) — the KG pipeline publishes absolute subject/object IRIs and the
-round-trip stays lossless without a base at the consumer.
+Document-relative (vocab=False) compaction implements §6.3 step 8: IRIs
+relativize against the context base via ``kernel/iri.relativize_iri``,
+whose every candidate is self-verified by resolving it back (lossy
+references are structurally impossible). The JSON-LD API's
+``compactToRelative`` option (default true) is honored by
+``compact_document``; the KG pipeline passes ``False`` — a spec-conformant
+publishing choice keeping subject/object IRIs absolute so consumers need
+no base.
 """
 
 from __future__ import annotations
 
 from typing import Any, Mapping, Optional
 
+from .iri import relativize_iri
 from .model import MISSING, Context, TermDefinition, is_keyword
 
 
@@ -167,8 +172,12 @@ def compact_iri(
             best = candidate
     if best is not None:
         return best
-    # step 8 deviation: keep absolute IRIs in document-relative mode (see
-    # module docstring) for lossless publishing without a consumer base.
+    # step 8: document-relative mode relativizes against the base when one
+    # is set (compactToRelative realized by callers stripping the base —
+    # see compact_document); relativize_iri self-verifies every candidate
+    # by resolving it back, so this can never emit a lossy reference.
+    if not vocab and ctx.base:
+        return relativize_iri(iri, ctx.base)
     return iri
 
 
@@ -409,8 +418,20 @@ def normalize_expanded(element: Any, in_list: bool = False) -> Any:
 
 # ------------------------------------------------ §6.1 document compaction
 
-def compact_document(ctx: Context, expanded: Any) -> Any:
-    """Compact expanded JSON-LD output against ``ctx`` (§6.1)."""
+def compact_document(
+    ctx: Context, expanded: Any, *, compact_to_relative: bool = True
+) -> Any:
+    """Compact expanded JSON-LD output against ``ctx`` (§6.1).
+
+    ``compact_to_relative`` is the JSON-LD API option of the same name
+    (default true per the WD): document-relative IRIs relativize against
+    the context's base. ``False`` keeps them absolute — realized by
+    compacting against a base-stripped context, the only place compaction
+    reads ``ctx.base`` (§6.3 step 8)."""
+    if not compact_to_relative and ctx.base:
+        from dataclasses import replace
+
+        ctx = replace(ctx, base=None)
     inverse = create_inverse_context(ctx)
     return _compact(ctx, None, expanded, inverse)
 

@@ -209,3 +209,56 @@ def resolve_iri(reference: str, base: str) -> str:
     if r_frag is not None:
         out.append("#" + r_frag)
     return "".join(out)
+
+
+def relativize_iri(iri: str, base: str | None) -> str:
+    """Best-effort inverse of :func:`resolve_iri` — JSON-LD API §6.3 step 8
+    (the ``compactToRelative`` option): the shortest relative reference
+    that resolves back to ``iri`` against ``base``.
+
+    Every candidate is SELF-VERIFIED by resolving it back and comparing:
+    anything that would not round-trip (or any shape this generator does
+    not cover) falls back to the absolute IRI, so the output is correct by
+    construction — lossy relativization is structurally impossible. Blank
+    nodes and non-IRI strings fall out via the scheme/authority mismatch.
+    """
+    if not base or not iri:
+        return iri
+    t_scheme, t_auth, t_path, t_query, t_frag = _split_iri(iri)
+    b_scheme, b_auth, b_path, _, _ = _split_iri(base)
+    if t_scheme is None or t_scheme != b_scheme or t_auth != b_auth:
+        return iri
+    tail = ("?" + t_query if t_query is not None else "") + (
+        "#" + t_frag if t_frag is not None else ""
+    )
+    candidates: list[str] = []
+    if t_path == b_path:
+        # same path: fragment-only / query+fragment references
+        if t_frag is not None:
+            candidates.append("#" + t_frag)
+        if t_query is not None:
+            candidates.append(tail)
+    # segment-relative path: strip the common directory prefix, climb the
+    # rest of the base directory with "../"
+    b_segs = b_path.split("/")
+    t_segs = t_path.split("/")
+    i = 0
+    while (
+        i < len(b_segs) - 1
+        and i < len(t_segs) - 1
+        and b_segs[i] == t_segs[i]
+    ):
+        i += 1
+    ups = len(b_segs) - 1 - i
+    rel_path = "../" * ups + "/".join(t_segs[i:])
+    if not rel_path:
+        rel_path = "./"
+    # a leading segment containing ":" would parse as a scheme
+    if ":" in rel_path.split("/", 1)[0]:
+        rel_path = "./" + rel_path
+    candidates.append(rel_path + tail)
+    candidates.append(t_path + tail)  # absolute-path reference
+    for cand in sorted(set(candidates), key=lambda c: (len(c), c)):
+        if cand and resolve_iri(cand, base) == iri:
+            return cand
+    return iri

@@ -586,7 +586,12 @@ def compact_turn_docs(
                     active = Context(base=document_iri)
                     body = doc
                 expanded = expand_document(expander.processor, active, body)
-                compacted = compact_document(active, expanded)
+                # compactToRelative=False (spec option, default true): the
+                # pipeline publishes absolute subject/object IRIs so
+                # consumers join without needing the producer's base
+                compacted = compact_document(
+                    active, expanded, compact_to_relative=False
+                )
                 reexpanded = expand_document(
                     expander.processor, active, compacted
                 )

@@ -371,3 +371,78 @@ def test_value_index_preserved(cd, sel_ctx):
     out = _ec(cd, sel_ctx, expanded)
     (val,) = [v for k, v in out.items() if k != "@id"]
     assert val.get("@index") == "i1"
+
+
+# --------------------------------------- §6.3 step 8: compactToRelative
+
+@pytest.mark.parametrize(
+    "base,iri,expected",
+    [
+        ("http://a/b/c/d;p?q", "http://a/b/c/g", "g"),
+        ("http://a/b/c/d;p?q", "http://a/b/c/", "./"),
+        ("http://a/b/c/d;p?q", "http://a/b/", "../"),
+        ("http://a/b/c/d;p?q", "http://a/g", "/g"),
+        ("http://a/b/c/d;p?q", "http://a/b/c/d;p?y", "?y"),
+        ("http://a/b/c/d;p?q", "http://a/b/c/d;p?q#s", "#s"),
+        ("http://ex.org/d/", "http://ex.org/d/person-3", "person-3"),
+        # different authority / scheme / blank node: absolute survives
+        ("http://ex.org/d/", "http://other.org/x", "http://other.org/x"),
+        ("http://ex.org/d/", "urn:uuid:abc", "urn:uuid:abc"),
+        ("http://ex.org/d/", "_:b0", "_:b0"),
+        # a leading segment with ":" must not parse as a scheme
+        ("http://a/b/", "http://a/b/x:y", "./x:y"),
+    ],
+)
+def test_relativize_iri_grid(base, iri, expected):
+    from json_ld_spark.kernel.iri import relativize_iri, resolve_iri
+
+    rel = relativize_iri(iri, base)
+    assert rel == expected
+    if rel != iri:
+        assert resolve_iri(rel, base) == iri
+
+
+def test_relativize_iri_roundtrip_fuzz():
+    """Every emitted relative reference must resolve back exactly — the
+    self-verification contract that makes lossy output impossible."""
+    import random
+
+    from json_ld_spark.kernel.iri import relativize_iri, resolve_iri
+
+    rng = random.Random(7)
+    segs = ["a", "b", "c", "x:y", "d;p", ""]
+    for _ in range(1500):
+        bp = "/" + "/".join(rng.choice(segs) for _ in range(rng.randrange(4)))
+        tp = "/" + "/".join(rng.choice(segs) for _ in range(rng.randrange(4)))
+        base = "http://h" + bp + rng.choice(["", "?bq"])
+        iri = (
+            "http://h" + tp + rng.choice(["", "?q"]) + rng.choice(["", "#f"])
+        )
+        rel = relativize_iri(iri, base)
+        if rel != iri:
+            assert resolve_iri(rel, base) == iri, (base, iri, rel)
+
+
+def test_compact_to_relative_document(cd):
+    """compactToRelative=true (the WD default) relativizes @id against the
+    context base and the result re-expands to the same document;
+    compactToRelative=false keeps IRIs absolute (the pipeline's declared
+    publishing choice)."""
+    from json_ld_spark.kernel import normalize_expanded
+    from json_ld_spark.kernel.model import Context
+
+    ctx = cd.compiled("https://example.org/ctx/base")
+    assert ctx.base, "fixture context must carry @base for this test"
+    doc = {
+        "@id": f"{ctx.base}person-7",
+        "http://schema.org/knows": {"@id": f"{ctx.base}nested/person-8"},
+    }
+    expanded = expand_document(cd.processor, ctx, doc)
+
+    rel = compact_document(ctx, expanded)
+    assert rel["@id"] == "person-7"
+    reexpanded = expand_document(cd.processor, ctx, rel)
+    assert normalize_expanded(reexpanded) == normalize_expanded(expanded)
+
+    absolute = compact_document(ctx, expanded, compact_to_relative=False)
+    assert absolute["@id"] == f"{ctx.base}person-7"
