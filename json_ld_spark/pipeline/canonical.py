@@ -160,14 +160,18 @@ def skolemize_triples(triples: DataFrame, max_work: int = 400) -> DataFrame:
     return map_turn_groups(triples, finish, SKOLEM_SCHEMA)
 
 
-def _turn_fingerprints(triples: DataFrame, max_work: int = 400) -> DataFrame:
+def turn_fingerprints(triples: DataFrame, max_work: int = 400) -> DataFrame:
     """Per-turn canonical content address: ``fp = md5(sorted canonical
     N-Quad lines)`` — equal iff the turns carry isomorphic RDF datasets.
     One grouped aggregate over :func:`canonical_nquads` (lines are already
     code-point sorted, so ``sort_array(collect_list(nquad))`` rebuilds the
     deterministic order without the line_idx column). A quarantined
     (too-automorphic) turn keeps its row with a NULL fp — callers decide
-    whether to exclude (dedup) or report it (diff)."""
+    whether to exclude (dedup) or report it (diff).
+
+    This is the table to PERSIST between pipeline runs: feeding it back as
+    ``graph_diff(old_fingerprints=...)`` turns the daily diff into one
+    canonicalization pass over the new snapshot only."""
     lines = canonical_nquads(triples, max_work=max_work)
     return lines.groupBy("conv_id", "turn_idx").agg(
         F.when(
@@ -185,7 +189,10 @@ DIFF_SCHEMA_COLS = [
 
 
 def graph_diff(
-    old_triples: DataFrame, new_triples: DataFrame, max_work: int = 400
+    old_triples: DataFrame | None,
+    new_triples: DataFrame,
+    max_work: int = 400,
+    old_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-snapshot KG diff: per-turn verdicts between two extractions.
 
@@ -201,21 +208,28 @@ def graph_diff(
       canonicalize within ``max_work``: no isomorphism verdict exists, and
       an honest diff must say so rather than guess.
 
-    This is the incremental-curation primitive: at 100 TB the ``old`` side's
-    fingerprints would be the persisted output of the previous run (the
-    aggregate below is exactly what to persist), so a daily diff costs one
-    canonicalization pass over the NEW snapshot plus a full-outer
-    sort-merge join on the turn key — both sides arrive hash-partitioned
-    on that key from their own aggregates, so the join adds no exchange.
+    This is the incremental-curation primitive: at 100 TB pass the
+    PREVIOUS run's persisted :func:`turn_fingerprints` output as
+    ``old_fingerprints`` instead of ``old_triples`` and the daily diff
+    costs one canonicalization pass over the NEW snapshot plus a
+    full-outer sort-merge join on the turn key — both sides arrive
+    hash-partitioned on that key from their own aggregates (or the
+    persisted table's bucketing), so the join adds no exchange.
     """
-    o = _turn_fingerprints(old_triples, max_work=max_work).select(
+    if (old_triples is None) == (old_fingerprints is None):
+        raise ValueError(
+            "pass exactly one of old_triples / old_fingerprints"
+        )
+    if old_fingerprints is None:
+        old_fingerprints = turn_fingerprints(old_triples, max_work=max_work)
+    o = old_fingerprints.select(
         "conv_id",
         "turn_idx",
         F.col("graph_fp").alias("old_fp"),
         F.col("n_quads").alias("old_n_quads"),
         F.lit(True).alias("in_old"),
     )
-    n = _turn_fingerprints(new_triples, max_work=max_work).select(
+    n = turn_fingerprints(new_triples, max_work=max_work).select(
         "conv_id",
         "turn_idx",
         F.col("graph_fp").alias("new_fp"),
@@ -265,7 +279,7 @@ def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:
     ``canonical_nquads``) are excluded: no isomorphism verdict exists for
     them.
     """
-    fps = _turn_fingerprints(triples, max_work=max_work).where(
+    fps = turn_fingerprints(triples, max_work=max_work).where(
         F.col("graph_fp").isNotNull()
     )
     reps = fps.groupBy("graph_fp").agg(

@@ -155,6 +155,44 @@ def test_graph_diff_statuses(spark):
     assert len(out) == 5
 
 
+def test_graph_diff_from_persisted_fingerprints(spark):
+    """The incremental form: passing the previous run's persisted
+    turn_fingerprints output must yield the identical diff as passing the
+    old triples themselves."""
+    import pytest as _pytest
+
+    from json_ld_spark.pipeline.canonical import turn_fingerprints
+
+    old_rows = [
+        _row("c1", 0, "_:x", "http://e/knows", "_:y", kind="bnode"),
+        _row("c2", 1, "http://e/s", "http://e/p", "v1", kind="literal"),
+    ]
+    new_rows = [
+        _row("c1", 0, "_:q", "http://e/knows", "_:r", kind="bnode"),
+        _row("c2", 1, "http://e/s", "http://e/p", "v2", kind="literal"),
+        _row("c4", 3, "http://e/s", "http://e/p", "fresh", kind="literal"),
+    ]
+    old = spark.createDataFrame(old_rows, _COLS)
+    new = spark.createDataFrame(new_rows, _COLS)
+    from_triples = sorted(
+        map(tuple, graph_diff(old, new, max_work=50).collect())
+    )
+    fps = turn_fingerprints(old, max_work=50)
+    from_fps = sorted(
+        map(
+            tuple,
+            graph_diff(
+                None, new, max_work=50, old_fingerprints=fps
+            ).collect(),
+        )
+    )
+    assert from_triples == from_fps
+    with _pytest.raises(ValueError):
+        graph_diff(old, new, old_fingerprints=fps)
+    with _pytest.raises(ValueError):
+        graph_diff(None, new)
+
+
 def test_skolemize_stable_across_relabeling(spark):
     rows = [
         # turn A and its relabeled twin: skolem IRIs must be identical
