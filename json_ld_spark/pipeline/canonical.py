@@ -190,9 +190,10 @@ DIFF_SCHEMA_COLS = [
 
 def graph_diff(
     old_triples: DataFrame | None,
-    new_triples: DataFrame,
+    new_triples: DataFrame | None,
     max_work: int = 400,
     old_fingerprints: DataFrame | None = None,
+    new_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-snapshot KG diff: per-turn verdicts between two extractions.
 
@@ -220,8 +221,14 @@ def graph_diff(
         raise ValueError(
             "pass exactly one of old_triples / old_fingerprints"
         )
+    if (new_triples is None) == (new_fingerprints is None):
+        raise ValueError(
+            "pass exactly one of new_triples / new_fingerprints"
+        )
     if old_fingerprints is None:
         old_fingerprints = turn_fingerprints(old_triples, max_work=max_work)
+    if new_fingerprints is None:
+        new_fingerprints = turn_fingerprints(new_triples, max_work=max_work)
     o = old_fingerprints.select(
         "conv_id",
         "turn_idx",
@@ -229,7 +236,7 @@ def graph_diff(
         F.col("n_quads").alias("old_n_quads"),
         F.lit(True).alias("in_old"),
     )
-    n = turn_fingerprints(new_triples, max_work=max_work).select(
+    n = new_fingerprints.select(
         "conv_id",
         "turn_idx",
         F.col("graph_fp").alias("new_fp"),

@@ -44,6 +44,24 @@ def main() -> None:
         "--nquads-out",
         help="also export the clean triples as N-Quads text under this dir",
     )
+    ap.add_argument(
+        "--skolemize",
+        action="store_true",
+        help="replace blank nodes with stable well-known genid IRIs "
+        "(RDFC-1.0 canonical labels) in the published triples table",
+    )
+    ap.add_argument(
+        "--fingerprints-out",
+        help="also persist per-turn canonical fingerprints under this dir "
+        "(the table graph_diff consumes for incremental cross-snapshot "
+        "diffs)",
+    )
+    ap.add_argument(
+        "--diff-against",
+        help="path of a previous run's --fingerprints-out table; writes a "
+        "per-turn added/removed/changed/unchanged/unknown diff under "
+        "<out>/diff",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -82,6 +100,33 @@ def main() -> None:
 
         to_nquads(res.triples).select("nquad").write.mode("overwrite").text(
             args.nquads_out
+        )
+    if args.fingerprints_out or args.diff_against:
+        from json_ld_spark.pipeline.canonical import (
+            graph_diff,
+            turn_fingerprints,
+        )
+
+        fps = turn_fingerprints(res.triples)
+        if args.fingerprints_out:
+            fps.write.mode("overwrite").parquet(args.fingerprints_out)
+            # re-read: the diff below then scans the persisted table instead
+            # of recomputing the canonicalization a second time
+            fps = spark.read.parquet(args.fingerprints_out)
+        if args.diff_against:
+            graph_diff(
+                None,
+                None,
+                old_fingerprints=spark.read.parquet(args.diff_against),
+                new_fingerprints=fps,
+            ).write.mode("overwrite").parquet(
+                os.path.join(args.out, "diff")
+            )
+    if args.skolemize:
+        from json_ld_spark.pipeline.canonical import skolemize_triples
+
+        clean = skolemize_triples(res.triples).where(
+            F.col("error_code").isNull()
         )
     (
         clean.withColumn("__bucket", bucket_of(F.col("conv_id"), args.n_buckets))
