@@ -157,6 +157,15 @@ def canonical_label_assignment(triples, max_perms: int = 5040) -> dict:
     return _canonical_core(triples, max_perms)[1]
 
 
+def canonical_triples_with_assignment(triples, max_perms: int = 5040):
+    """Both outputs of the shared core in ONE pass: the canonical form and
+    the winning label mapping. Callers needing both (reconstruct's
+    roundtrip check relabels with the mapping and compares against the
+    form) must not pay the permutation search twice — it is the dominant
+    per-turn cost on the 10^12-turn hot path."""
+    return _canonical_core(triples, max_perms)
+
+
 def _canonical_core(triples, max_perms: int):
     from itertools import permutations, product as iproduct
     from math import factorial

@@ -182,12 +182,6 @@ def turn_fingerprints(triples: DataFrame, max_work: int = 400) -> DataFrame:
     )
 
 
-DIFF_SCHEMA_COLS = [
-    "conv_id", "turn_idx", "status",
-    "old_fp", "new_fp", "old_n_quads", "new_n_quads",
-]
-
-
 def graph_diff(
     old_triples: DataFrame | None,
     new_triples: DataFrame | None,

@@ -105,18 +105,25 @@ def reconstruct_turn_stats(rows: list[dict]) -> tuple:
     document's fingerprint."""
     from ..kernel.expand_doc import expanded_to_triples
     from ..kernel.from_rdf import (
-        canonical_label_assignment,
         canonical_triples,
+        canonical_triples_with_assignment,
         triples_to_expanded,
     )
 
-    rows = _relabel_rows(
-        sorted(rows, key=lambda t: tuple(repr(t[k]) for k in _TRIPLE_FIELDS)),
-        canonical_label_assignment(rows),
+    # ONE core pass yields both the canonical form (for the roundtrip
+    # compare below — relabeled rows are isomorphic to the originals, so
+    # their canonical form is this same value) and the label mapping.
+    canonical_form, mapping = canonical_triples_with_assignment(rows)
+    # sort AFTER relabeling: multi-valued properties append objects in row
+    # order, so sorting by the original labels would leak them into the
+    # rebuilt document's structure (two isomorphic turns hashing apart)
+    rows = sorted(
+        _relabel_rows(rows, mapping),
+        key=lambda t: tuple(repr(t[k]) for k in _TRIPLE_FIELDS),
     )
     rebuilt = triples_to_expanded([dict(t) for t in rows])
     again = expanded_to_triples(rebuilt)
-    ok = 1 if canonical_triples(again) == canonical_triples(rows) else 0
+    ok = 1 if canonical_triples(again) == canonical_form else 0
     n_graphs = sum(1 for n in rebuilt if "@graph" in n)
     fp = hashlib.md5(
         json.dumps(rebuilt, sort_keys=True, separators=(",", ":")).encode()

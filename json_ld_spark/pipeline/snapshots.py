@@ -117,6 +117,20 @@ class IcebergSnapshotStore:
         writer.append()  # atomic snapshot commit
         return self.current_snapshot_id()
 
+    def has_tag(self, tag: str) -> bool:
+        """True iff a committed snapshot carries ``tag`` (same validated
+        charset as ``append``)."""
+        if not re.fullmatch(r"[A-Za-z0-9_.:-]+", tag):
+            raise ValueError(
+                f"snapshot tag must match [A-Za-z0-9_.:-]+, got {tag!r}"
+            )
+        return bool(
+            self.spark.sql(
+                f"SELECT snapshot_id FROM {self.table}.snapshots "
+                f"WHERE summary['commit-tag'] = '{tag}' LIMIT 1"
+            ).collect()
+        )
+
 
 class ParquetSnapshotStore:
     """Parquet stand-in with genuine snapshot semantics (sandbox default).
@@ -221,3 +235,12 @@ class ParquetSnapshotStore:
             json.dump(snaps, f)
         os.replace(tmp, self.meta_path)  # atomic commit point
         return new_id
+
+    def has_tag(self, tag: str) -> bool:
+        """True iff a committed snapshot carries ``tag`` (same contract as
+        IcebergSnapshotStore.has_tag; charset validated identically)."""
+        if not re.fullmatch(r"[A-Za-z0-9_.:-]+", tag):
+            raise ValueError(
+                f"snapshot tag must match [A-Za-z0-9_.:-]+, got {tag!r}"
+            )
+        return any(s.get("tag") == tag for s in self._snapshots())

@@ -29,7 +29,6 @@ Table B marks these rows as pipeline scaffolding, not reference algorithms.
 from __future__ import annotations
 
 import json
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -160,14 +159,19 @@ def run_stream_to_snapshots(
     canonicalization pinned to a snapshot → idempotent resume.
 
     Exactly-once across restarts: ``foreachBatch`` can replay a batch
-    after a crash; the store's tagged append (tag = micro-batch id) makes
-    the replay a no-op, so no double-counting even when the checkpoint
-    and the sink disagree about the last committed batch."""
+    after a crash; the store's tagged append (tag = query id + micro-batch
+    id — batch ids alone restart at 0 if the checkpoint is wiped, which
+    would make the replay guard silently drop new batches) makes the
+    replay a no-op, so no double-counting even when the checkpoint and
+    the sink disagree about the last committed batch."""
     transcripts = stream_transcript_source(spark, source_dir)
     triples = stream_extract_triples(transcripts, contexts)
+    query_id: list[str] = []
 
     def commit(batch_df, batch_id: int) -> None:
-        store.append(batch_df, tag=f"batch-{batch_id}")
+        if not query_id:
+            query_id.append(_checkpoint_query_id(spark, checkpoint_dir))
+        store.append(batch_df, tag=f"{query_id[0]}-batch-{batch_id}")
 
     writer = (
         triples.writeStream.foreachBatch(commit)
@@ -207,6 +211,31 @@ def run_stream_to_parquet(
     return writer.start()
 
 
+def _checkpoint_query_id(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Read the streaming query id from ``<checkpoint>/metadata`` through
+    the Hadoop filesystem API, so HDFS/S3/file: checkpoint locations work
+    exactly like bare local paths (a driver-local ``open()`` would crash
+    the first batch on any non-local scheme). foreachBatch runs
+    driver-side, where the JVM gateway is available."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "metadata")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(path)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        stream.close()
+    return json.loads("\n".join(lines))["id"]
+
+
 def run_stream_transcripts_to_snapshots(
     spark: SparkSession,
     source_dir: str,
@@ -214,6 +243,7 @@ def run_stream_transcripts_to_snapshots(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int = 8,
+    legacy_tags: bool = False,
 ):
     """Land RAW transcript micro-batches as atomic snapshot commits — the
     ingest half of the continuously-maintained KG: each drained batch
@@ -230,7 +260,15 @@ def run_stream_transcripts_to_snapshots(
     across restarts of the same checkpoint): batch ids alone are scoped
     to the checkpoint directory, so a wiped or relocated checkpoint would
     restart them at 0 and the replay guard would silently discard the new
-    batches as already-committed ones."""
+    batches as already-committed ones.
+
+    ``legacy_tags``: pass True exactly once when RESUMING a checkpoint
+    whose batches were committed before the query id was part of the tag
+    (format ``transcripts-batch-N``) — the replayed head batch then
+    recognizes its pre-upgrade commit instead of appending a duplicate.
+    Leave False (the default) for fresh checkpoints: a blanket legacy
+    lookup would reintroduce the wiped-checkpoint data-loss this tag
+    format exists to prevent."""
     transcripts = stream_transcript_source(
         spark, source_dir, max_files_per_trigger=max_files_per_trigger
     )
@@ -240,8 +278,9 @@ def run_stream_transcripts_to_snapshots(
         if not query_id:
             # read lazily: Spark writes the metadata file at query start,
             # before the first batch runs (foreachBatch runs driver-side)
-            with open(os.path.join(checkpoint_dir, "metadata")) as fh:
-                query_id.append(json.load(fh)["id"])
+            query_id.append(_checkpoint_query_id(spark, checkpoint_dir))
+        if legacy_tags and store.has_tag(f"transcripts-batch-{batch_id}"):
+            return  # committed pre-upgrade under the legacy tag format
         store.append(
             batch_df, tag=f"transcripts-{query_id[0]}-batch-{batch_id}"
         )

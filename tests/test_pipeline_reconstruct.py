@@ -111,6 +111,26 @@ def test_bnode_prefixed_literal_not_confused_with_labels():
     assert reconstruct_turn_stats(r1)[5] != reconstruct_turn_stats(r2)[5]
 
 
+def test_fingerprint_invariant_multivalued_property_relabeling():
+    """Multi-valued properties append objects in row order; sorting by the
+    ORIGINAL labels leaked them into the rebuilt structure, hashing two
+    isomorphic turns apart. Rows must sort by their canonical labels."""
+    r1 = [
+        _row("http://s", "http://p", "bnode", "_:a"),
+        _row("http://s", "http://p", "bnode", "_:b"),
+        _row("_:a", "http://name", "literal", "1"),
+        _row("_:b", "http://name", "literal", "2"),
+    ]
+    # same graph, labels swapped so the original-label sort order flips
+    r2 = [
+        _row("http://s", "http://p", "bnode", "_:z"),
+        _row("http://s", "http://p", "bnode", "_:y"),
+        _row("_:z", "http://name", "literal", "1"),
+        _row("_:y", "http://name", "literal", "2"),
+    ]
+    assert reconstruct_turn_stats(r1) == reconstruct_turn_stats(r2)
+
+
 def test_fingerprint_invariant_under_relabeling_distinct_nodes():
     """fromrdf_fp is computed after canonical relabeling, so node sort
     order cannot leak the input labels (two relabelings of content-

@@ -99,12 +99,22 @@ def test_stream_commits_snapshots_exactly_once(spark, sf_dir, tmp_path):
     assert store.current_snapshot_id() == n_snaps
     assert store.read().count() == want
 
-    # simulated foreachBatch replay: tagged append is a no-op
+    # simulated foreachBatch replay: re-appending under an already-
+    # committed tag (query-id-scoped since the wiped-checkpoint fix) is a
+    # no-op returning the original snapshot id
+    committed_tags = [
+        s["tag"] for s in store._snapshots() if s.get("tag")
+    ]
+    assert committed_tags and all(
+        "-batch-" in t for t in committed_tags
+    ), committed_tags
     replay = store.append(
-        extract_triples(transcripts, dedup=False), tag="batch-0"
+        extract_triples(transcripts, dedup=False), tag=committed_tags[0]
     )
     assert replay <= n_snaps
     assert store.current_snapshot_id() == n_snaps
+    assert store.has_tag(committed_tags[0])
+    assert not store.has_tag("no-such-tag")
 
 
 def test_resume_pins_input_snapshot(spark, sf_dir, tmp_path):

@@ -229,3 +229,40 @@ def test_stream_snapshot_commits_survive_checkpoint_wipe(spark, tmp_path):
     # the fresh lineage re-reads the backlog (at-least-once after losing
     # the checkpoint — expected); what it must NOT do is drop new data
     assert got.where(F.col("conv_id") == "wipe-c2").count() >= 1
+
+
+def test_stream_snapshot_legacy_tag_optin(spark, tmp_path):
+    """Upgrade path: resuming a checkpoint whose head batch was committed
+    pre-upgrade under the legacy tag format must not append a duplicate
+    when legacy_tags=True is passed (and must re-ingest when it is not)."""
+    from json_ld_spark.pipeline.snapshots import ParquetSnapshotStore
+    from json_ld_spark.streaming.ingest import (
+        run_stream_transcripts_to_snapshots,
+    )
+
+    source = str(tmp_path / "src")
+    os.makedirs(source, exist_ok=True)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "store"))
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    df = spark.createDataFrame(
+        [("legacy-c1", 0, "user", "hello", None)], schema
+    ).withColumn("ts", F.current_timestamp())
+    df.coalesce(1).write.mode("append").parquet(source)
+
+    # pre-upgrade state: batch 0 already committed under the legacy tag
+    store.append(df, tag="transcripts-batch-0")
+    n_before = store.read().count()
+
+    q = run_stream_transcripts_to_snapshots(
+        spark,
+        source,
+        store,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        legacy_tags=True,
+    )
+    q.awaitTermination(120)
+    # the replayed head batch recognized its legacy commit: no duplicate
+    assert store.read().count() == n_before

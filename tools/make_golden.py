@@ -278,7 +278,11 @@ def write_compacted_docs(transcripts: pd.DataFrame, out_dir: str) -> None:
                 active = Context(base=document_iri)
                 body = doc
             expanded = expand_document(processor, active, body)
-            compacted = compact_document(active, expanded)
+            # mirror of pipeline/extract.compact_turn_docs: the pipeline
+            # publishes absolute IRIs (compactToRelative=False)
+            compacted = compact_document(
+                active, expanded, compact_to_relative=False
+            )
             reexpanded = expand_document(processor, active, compacted)
             rt = normalize_expanded(reexpanded) == normalize_expanded(expanded)
             return compacted, 1 if rt else 0
