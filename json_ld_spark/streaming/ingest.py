@@ -151,6 +151,7 @@ def run_stream_to_snapshots(
     checkpoint_dir: str,
     contexts: Optional[ContextDict] = None,
     available_now: bool = True,
+    legacy_tags: bool = False,
 ):
     """Streaming extraction landing ATOMIC SNAPSHOTS: each micro-batch of
     triples commits as one SnapshotStore append (pipeline/snapshots.py),
@@ -171,6 +172,8 @@ def run_stream_to_snapshots(
     def commit(batch_df, batch_id: int) -> None:
         if not query_id:
             query_id.append(_checkpoint_query_id(spark, checkpoint_dir))
+        if legacy_tags and store.has_tag(f"batch-{batch_id}"):
+            return  # committed pre-upgrade under the legacy tag format
         store.append(batch_df, tag=f"{query_id[0]}-batch-{batch_id}")
 
     writer = (

@@ -184,7 +184,10 @@ def test_compact_turn_docs_fixpoint_and_kernel_parity(spark, transcripts):
                     active = Context(base=ctx.document_iri)
                     body = doc
                 expanded = expand_document(expander.processor, active, body)
-                compacted = compact_document(active, expanded)
+                # mirror the pipeline's publishing choice (absolute IRIs)
+                compacted = compact_document(
+                    active, expanded, compact_to_relative=False
+                )
                 rt = 1 if normalize_expanded(expand_document(
                     expander.processor, active, compacted
                 )) == normalize_expanded(expanded) else 0
