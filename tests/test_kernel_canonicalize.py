@@ -249,3 +249,31 @@ def test_budget_generous_enough_for_real_shapes():
         quads.append(q(f"_:b{i}", "http://e/idx", str(i), lit=True))
     lines = canonicalize_quads(quads)
     assert len(lines) == 80
+
+
+def test_disjoint_symmetric_cycles_within_budget():
+    """The classic URDNA stress shape: two disjoint 2-cycles of blank
+    nodes are fully symmetric after first-degree hashing (every node
+    hashes identically), so labeling is decided entirely by the
+    hash-N-degree path. It must resolve within the default budget,
+    be relabel-invariant, and differ from a single 4-cycle (which is
+    NOT isomorphic despite identical degree sequences)."""
+    two_cycles = [
+        q("_:a", "http://e/p", "_:b"), q("_:b", "http://e/p", "_:a"),
+        q("_:c", "http://e/p", "_:d"), q("_:d", "http://e/p", "_:c"),
+    ]
+    four_cycle = [
+        q("_:w", "http://e/p", "_:x"), q("_:x", "http://e/p", "_:y"),
+        q("_:y", "http://e/p", "_:z"), q("_:z", "http://e/p", "_:w"),
+    ]
+    rng = random.Random(9)
+    labels = bnode_labels(two_cycles)
+    perm = labels[:]
+    rng.shuffle(perm)
+    relab = relabeled(two_cycles, dict(zip(labels, perm)))
+    rng.shuffle(relab)
+    assert canonicalize_quads(two_cycles) == canonicalize_quads(relab)
+    assert canonicalize_quads(two_cycles) != canonicalize_quads(four_cycle)
+    # the independent canonicalizer must agree on both verdicts
+    assert canonical_triples(two_cycles) == canonical_triples(relab)
+    assert canonical_triples(two_cycles) != canonical_triples(four_cycle)
