@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -160,26 +161,47 @@ def skolemize_triples(triples: DataFrame, max_work: int = 400) -> DataFrame:
     return map_turn_groups(triples, finish, SKOLEM_SCHEMA)
 
 
+FPS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("graph_fp", StringType()),
+        StructField("n_quads", LongType()),
+    ]
+)
+
+
 def turn_fingerprints(triples: DataFrame, max_work: int = 400) -> DataFrame:
     """Per-turn canonical content address: ``fp = md5(sorted canonical
     N-Quad lines)`` — equal iff the turns carry isomorphic RDF datasets.
-    One grouped aggregate over :func:`canonical_nquads` (lines are already
-    code-point sorted, so ``sort_array(collect_list(nquad))`` rebuilds the
-    deterministic order without the line_idx column). A quarantined
+
+    The fingerprint is computed INSIDE the streaming-group walker, where
+    the turn's sorted canonical lines already sit in memory: a
+    ``groupBy`` over the ``canonical_nquads`` output would force a second
+    shuffle (Catalyst cannot know a ``mapInPandas`` kernel preserved the
+    keys, so it inserts ENSURE_REQUIREMENTS), and would ship one Arrow
+    row per LINE instead of one per TURN across the Python boundary.
+    Plan: exactly ONE exchange (pinned by test). A quarantined
     (too-automorphic) turn keeps its row with a NULL fp — callers decide
     whether to exclude (dedup) or report it (diff).
 
     This is the table to PERSIST between pipeline runs: feeding it back as
     ``graph_diff(old_fingerprints=...)`` turns the daily diff into one
     canonicalization pass over the new snapshot only."""
-    lines = canonical_nquads(triples, max_work=max_work)
-    return lines.groupBy("conv_id", "turn_idx").agg(
-        F.when(
-            F.max("error_code").isNull(),
-            F.md5(F.concat_ws("\n", F.sort_array(F.collect_list("nquad")))),
-        ).alias("graph_fp"),
-        F.count("nquad").alias("n_quads"),
-    )
+    import hashlib
+
+    def finish(conv_id, turn_idx, rows):
+        lines = [
+            ln
+            for _, ln, err in canonical_turn_lines(rows, max_work=max_work)
+            if err is None
+        ]
+        if not lines:  # quarantined: no isomorphism verdict exists
+            return [(conv_id, turn_idx, None, 0)]
+        fp = hashlib.md5("\n".join(lines).encode()).hexdigest()
+        return [(conv_id, turn_idx, fp, len(lines))]
+
+    return map_turn_groups(triples, finish, FPS_SCHEMA)
 
 
 def graph_diff(

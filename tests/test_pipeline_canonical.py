@@ -258,6 +258,22 @@ def test_skolemize_stable_across_relabeling(spark):
     assert all(r.subj.startswith("_:") for r in c)
 
 
+def test_turn_fingerprints_plan_is_single_shuffle(spark):
+    """The fingerprint is computed in-kernel: a groupBy over the
+    canonical-lines output would add an ENSURE_REQUIREMENTS exchange
+    (mapInPandas hides key preservation from Catalyst) and ship one Arrow
+    row per line instead of one per turn."""
+    from json_ld_spark.pipeline.canonical import turn_fingerprints
+
+    rows = [_row("c1", 0, "_:x", "http://e/p", "v", kind="literal")]
+    df = spark.createDataFrame(rows, _COLS)
+    plan = (
+        turn_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
 def test_skolemize_plan_is_single_shuffle(spark):
     rows = [_row("c1", 0, "_:x", "http://e/p", "v", kind="literal")]
     df = spark.createDataFrame(rows, _COLS)
