@@ -314,6 +314,17 @@ def _kg_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.transcripts import synth_transcripts
 
     old = extract_triples(synth_transcripts(spark, sf_dir))
+    return graph_diff(old, _mutated_snapshot(old)).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+def _mutated_snapshot(old: DataFrame) -> DataFrame:
+    """Deterministic 'next snapshot' of a triple table, keyed on
+    md5(conv_id:turn_idx) mod 10 (mirrored Spark-free by
+    tools/make_golden): bucket 0 removed, 1 literal-edited, 2
+    blank-relabeled (isomorphic — must diff as unchanged), 3 also
+    duplicated under a fresh conv_id (added)."""
     bucket = (
         F.conv(
             F.substring(
@@ -362,8 +373,33 @@ def _kg_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     added = base.where(F.col("bucket") == 3).withColumn(
         "conv_id", F.concat(F.col("conv_id"), F.lit("-added"))
     )
-    new = relabeled.drop("bucket").unionByName(added.drop("bucket"))
-    return graph_diff(old, new).orderBy("conv_id", "turn_idx")
+    return relabeled.drop("bucket").unionByName(added.drop("bucket"))
+
+
+def _kg_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-LEVEL cross-snapshot diff (pipeline/canonical.triple_diff):
+    added/removed rows between two SKOLEMIZED extractions — possible only
+    because skolem IRIs are a pure function of graph structure (raw
+    extractions mint fresh blank labels every run, making row-level set
+    difference meaningless). Same deterministic mutation as
+    kg_graph_diff; its blank-RELABELED bucket must contribute zero rows
+    here. Oracle: Spark-free kernel golden applying the same mutation +
+    skolemization + multiset difference (tools/make_golden)."""
+    from json_ld_spark.pipeline.canonical import (
+        skolemize_triples,
+        triple_diff,
+    )
+    from json_ld_spark.pipeline.extract import extract_triples
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    old = extract_triples(synth_transcripts(spark, sf_dir))
+    return triple_diff(
+        skolemize_triples(old), skolemize_triples(_mutated_snapshot(old))
+    ).orderBy(
+        "status",
+        *_TRIPLE_ORDER,
+        *[F.col(c).asc_nulls_first() for c in _TRIPLE_ORDER_NULLABLE],
+    )
 
 
 def _kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_nquads": _kg_canonical_nquads,
         "kg_graph_dedup": _kg_graph_dedup,
         "kg_graph_diff": _kg_graph_diff,
+        "kg_triple_diff": _kg_triple_diff,
         "kg_skolemized": _kg_skolemized,
         "kg_nodes_incremental": _kg_nodes_incremental,
         "kg_nodes": _kg_nodes,
@@ -1115,6 +1152,14 @@ def oracle_sql() -> dict[str, str]:
             "old_n_quads, new_n_quads "
             f"FROM read_parquet('{_GOLDEN}/graph_diff.parquet') "
             "ORDER BY conv_id, turn_idx"
+        ),
+        "kg_triple_diff": (
+            "SELECT conv_id, turn_idx, subj, pred, obj_kind, obj_value, "
+            "obj_type, obj_lang, obj_direction, graph, status "
+            f"FROM read_parquet('{_GOLDEN}/triple_diff.parquet') "
+            "ORDER BY status, conv_id, turn_idx, subj, pred, obj_kind, "
+            "obj_value, obj_type NULLS FIRST, obj_lang NULLS FIRST, "
+            "obj_direction NULLS FIRST, graph NULLS FIRST"
         ),
         "kg_skolemized": (
             "SELECT conv_id, turn_idx, subj, pred, obj_kind, obj_value, "

@@ -320,3 +320,31 @@ def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:
             & (F.col("turn_idx") == F.col("rep.turn_idx"))
         ).alias("keep"),
     )
+
+
+def triple_diff(
+    old_skolemized: DataFrame, new_skolemized: DataFrame
+) -> DataFrame:
+    """Exact TRIPLE-level diff between two SKOLEMIZED extractions: which
+    rows were added / removed, not merely which turns changed.
+
+    This is what :func:`skolemize_triples` buys: raw extractions mint
+    fresh ``_:b<i>`` labels every run, so a row-level set difference over
+    them reports every bnode-touching triple as changed; skolem IRIs are
+    a pure function of graph structure, so after skolemization the
+    multiset difference is exact. Quarantined (too-automorphic) rows are
+    excluded from both sides — their labels are not stable, so no
+    row-level verdict exists for them (the turn-level ``graph_diff``
+    still reports those turns as ``unknown``).
+
+    Plan: two ``exceptAll`` set differences (each one shuffle on the full
+    row — Spark's aggregate-based multiset difference; no driver state,
+    no skew exposure beyond exact-duplicate rows, which extraction's
+    in-kernel dedup already collapses) unioned under a ``status`` tag.
+    """
+    cols = ["conv_id", "turn_idx", *_TRIPLE_FIELDS]
+    o = old_skolemized.where(F.col("error_code").isNull()).select(cols)
+    n = new_skolemized.where(F.col("error_code").isNull()).select(cols)
+    return n.exceptAll(o).withColumn("status", F.lit("added")).unionByName(
+        o.exceptAll(n).withColumn("status", F.lit("removed"))
+    )

@@ -193,6 +193,46 @@ def test_graph_diff_from_persisted_fingerprints(spark):
         graph_diff(None, new)
 
 
+def test_triple_diff_over_skolemized(spark):
+    """Row-level diff works only over skolemized tables: relabeled (i.e.
+    isomorphic) turns contribute zero rows, literal edits pair up as one
+    removed + one added, whole-turn adds/removes appear in full, and
+    quarantined turns are excluded."""
+    from json_ld_spark.pipeline.canonical import (
+        skolemize_triples,
+        triple_diff,
+    )
+
+    old_rows = [
+        _row("c1", 0, "_:x", "http://e/knows", "_:y", kind="bnode"),
+        _row("c1", 0, "_:y", "http://e/name", "http://e/alice"),
+        _row("c2", 1, "http://e/s", "http://e/p", "v1", kind="literal"),
+        _row("c3", 2, "http://e/s", "http://e/p", "gone", kind="literal"),
+        *_poison_rows("c6", 5),
+    ]
+    new_rows = [
+        # same graph as c1/0 under different labels: must not appear
+        _row("c1", 0, "_:q", "http://e/knows", "_:r", kind="bnode"),
+        _row("c1", 0, "_:r", "http://e/name", "http://e/alice"),
+        _row("c2", 1, "http://e/s", "http://e/p", "v2", kind="literal"),
+        _row("c4", 3, "http://e/s", "http://e/p", "fresh", kind="literal"),
+        *_poison_rows("c6", 5),
+    ]
+    old = skolemize_triples(spark.createDataFrame(old_rows, _COLS), max_work=50)
+    new = skolemize_triples(spark.createDataFrame(new_rows, _COLS), max_work=50)
+    out = triple_diff(old, new).collect()
+    by_status: dict[str, list] = {}
+    for r in out:
+        by_status.setdefault(r.status, []).append(r)
+    assert {(r.conv_id, r.obj_value) for r in by_status["added"]} == {
+        ("c2", "v2"), ("c4", "fresh"),
+    }
+    assert {(r.conv_id, r.obj_value) for r in by_status["removed"]} == {
+        ("c2", "v1"), ("c3", "gone"),
+    }
+    assert not any(r.conv_id in ("c1", "c6") for r in out)
+
+
 def test_skolemize_stable_across_relabeling(spark):
     rows = [
         # turn A and its relabeled twin: skolem IRIs must be identical

@@ -567,6 +567,111 @@ def write_graph_diff(out_dir: str) -> None:
     )
 
 
+# ------------------------------------------------------------ triple diff
+
+def write_triple_diff(out_dir: str) -> None:
+    """Kernel-only mirror of __spark_entry__._kg_triple_diff: skolemize
+    the golden triples and their mutated snapshot (same mutation as
+    write_graph_diff) with the shared kernel, then take the multiset
+    difference. Built-in property check: the blank-RELABELED bucket must
+    contribute ZERO diff rows — the skolem IRIs it demonstrates are
+    label-invariant (asserted)."""
+    import hashlib as _hashlib
+    from collections import Counter
+
+    from json_ld_spark.pipeline.canonical import skolemize_turn_rows
+    from json_ld_spark.pipeline.reconstruct import _TRIPLE_FIELDS, _clean_rows
+
+    t = pd.read_parquet(os.path.join(out_dir, "triples.parquet"))
+    t = t[t["error_code"].isna()]
+
+    def bucket(conv_id, turn_idx) -> int:
+        h = _hashlib.md5(f"{conv_id}:{turn_idx}".encode()).hexdigest()
+        return int(h[:2], 16) % 10
+
+    def mutate(rows, b):
+        out = []
+        for r in rows:
+            r = dict(r)
+            if b == 1 and r["obj_kind"] == "literal":
+                r["obj_value"] = r["obj_value"] + " (edited)"
+            if b == 2:
+                if isinstance(r["subj"], str) and r["subj"].startswith("_:"):
+                    r["subj"] = "_:zz" + r["subj"][2:]
+                if r["obj_kind"] == "bnode":
+                    r["obj_value"] = "_:zz" + r["obj_value"][2:]
+                if isinstance(r.get("graph"), str) and r["graph"].startswith(
+                    "_:"
+                ):
+                    r["graph"] = "_:zz" + r["graph"][2:]
+            out.append(r)
+        return out
+
+    def skolemized_rows(conv_id, turn_idx, rows):
+        out = []
+        for r in skolemize_turn_rows(rows, conv_id, int(turn_idx)):
+            if r["error_code"] is not None:
+                continue  # quarantined: labels not stable, no verdict
+            out.append(
+                (conv_id, int(turn_idx))
+                + tuple(r[k] for k in _TRIPLE_FIELDS)
+            )
+        return out
+
+    old_side: Counter = Counter()
+    new_side: Counter = Counter()
+    relabeled_keys = set()
+    for (conv_id, turn_idx), g in t.groupby(["conv_id", "turn_idx"], sort=True):
+        rows = _clean_rows(g)
+        b = bucket(conv_id, int(turn_idx))
+        old_side.update(skolemized_rows(conv_id, turn_idx, rows))
+        if b != 0:
+            new_side.update(
+                skolemized_rows(conv_id, turn_idx, mutate(rows, b))
+            )
+        if b == 2:
+            relabeled_keys.add((conv_id, int(turn_idx)))
+        if b == 3:
+            new_side.update(
+                skolemized_rows(conv_id + "-added", turn_idx, rows)
+            )
+
+    added = new_side - old_side
+    removed = old_side - new_side
+    assert relabeled_keys, "mutation must exercise the relabel bucket"
+    for row in list(added) + list(removed):
+        assert (row[0], row[1]) not in relabeled_keys, (
+            f"relabeled turn {row[:2]} leaked into the diff — skolem IRIs "
+            "must be label-invariant"
+        )
+
+    rows_out = []
+    for status, counter in (("added", added), ("removed", removed)):
+        for row, cnt in counter.items():
+            rows_out.extend([row + (status,)] * cnt)
+    rows_out.sort(key=lambda r: tuple(repr(v) for v in (r[-1],) + r[:-1]))
+
+    names = ["conv_id", "turn_idx"] + _TRIPLE_FIELDS + ["status"]
+    arrays = [
+        pa.array([r[0] for r in rows_out], type=pa.string()),
+        pa.array([r[1] for r in rows_out], type=pa.int32()),
+    ] + [
+        pa.array([r[i] for r in rows_out], type=pa.string())
+        for i in range(2, len(names))
+    ]
+    pq.write_table(
+        pa.Table.from_arrays(arrays, names=names),
+        os.path.join(out_dir, "triple_diff.parquet"),
+    )
+    from collections import Counter as _C
+
+    print(
+        f"wrote triple_diff: {len(rows_out)} rows "
+        f"{dict(_C(r[-1] for r in rows_out))} "
+        f"({len(relabeled_keys)} relabeled turns verified diff-free)"
+    )
+
+
 # ---------------------------------------------------------- skolemization
 
 def write_skolemized(out_dir: str) -> None:
@@ -1380,6 +1485,7 @@ def main() -> int:
     write_fromrdf_stats(out_dir)
     write_canonical_nquads(out_dir)
     write_graph_diff(out_dir)
+    write_triple_diff(out_dir)
     write_skolemized(out_dir)
     write_error_stats(transcripts, out_dir)
     write_nodes_edges(rows, out_dir)
