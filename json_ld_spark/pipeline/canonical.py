@@ -229,9 +229,11 @@ def graph_diff(
     PREVIOUS run's persisted :func:`turn_fingerprints` output as
     ``old_fingerprints`` instead of ``old_triples`` and the daily diff
     costs one canonicalization pass over the NEW snapshot plus a
-    full-outer sort-merge join on the turn key — both sides arrive
-    hash-partitioned on that key from their own aggregates (or the
-    persisted table's bucketing), so the join adds no exchange.
+    full-outer sort-merge join on the turn key. Plan note: fingerprints
+    come out of a ``mapInPandas`` kernel, whose partitioning Catalyst
+    cannot see, so the join re-hashes each computed side (one
+    ENSURE_REQUIREMENTS exchange per side) — and none for a persisted
+    side written bucketed by the turn key.
     """
     if (old_triples is None) == (old_fingerprints is None):
         raise ValueError(
@@ -292,15 +294,13 @@ def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:
     blank labels (every re-expansion mints new ones) hashes differently as
     text but identically here.
 
-    Scale shape: all JVM after the canonicalization stage. Fingerprints are
-    one grouped aggregate on the turn key (canonical lines are already
-    code-point sorted, so ``sort_array(collect_list(nquad))`` rebuilds the
-    deterministic order without the line_idx column). Representatives come
+    Scale shape: fingerprints come straight out of the
+    :func:`turn_fingerprints` kernel (one exchange, one row per turn —
+    see its docstring); everything after is JVM. Representatives come
     from groupBy(graph_fp).min(struct) + an equi-join back — the
     map-side-combining, skew-safe shape; a window over fp would sort whole
-    degenerate groups on one task. Too-automorphic turns (quarantined by
-    ``canonical_nquads``) are excluded: no isomorphism verdict exists for
-    them.
+    degenerate groups on one task. Too-automorphic turns (NULL fp from
+    the kernel) are excluded: no isomorphism verdict exists for them.
     """
     fps = turn_fingerprints(triples, max_work=max_work).where(
         F.col("graph_fp").isNotNull()

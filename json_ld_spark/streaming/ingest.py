@@ -164,7 +164,14 @@ def run_stream_to_snapshots(
     id — batch ids alone restart at 0 if the checkpoint is wiped, which
     would make the replay guard silently drop new batches) makes the
     replay a no-op, so no double-counting even when the checkpoint and
-    the sink disagree about the last committed batch."""
+    the sink disagree about the last committed batch.
+
+    ``legacy_tags``: pass True exactly once when RESUMING a checkpoint
+    whose batches were committed before the query id was part of the tag
+    (format ``batch-N``), so the replayed head batch recognizes its
+    pre-upgrade commit instead of appending a duplicate. Leave False for
+    fresh checkpoints — a blanket legacy lookup would reintroduce the
+    wiped-checkpoint silent-drop hazard this tag format prevents."""
     transcripts = stream_transcript_source(spark, source_dir)
     triples = stream_extract_triples(transcripts, contexts)
     query_id: list[str] = []
@@ -173,7 +180,13 @@ def run_stream_to_snapshots(
         if not query_id:
             query_id.append(_checkpoint_query_id(spark, checkpoint_dir))
         if legacy_tags and store.has_tag(f"batch-{batch_id}"):
-            return  # committed pre-upgrade under the legacy tag format
+            # committed pre-upgrade under the legacy tag format. The plan
+            # upstream is STATEFUL (dropDuplicatesWithinWatermark): Spark's
+            # state-store commit validation requires foreachBatch to
+            # process every partition, so consume the batch before skipping
+            # the append (an early return fails the micro-batch).
+            batch_df.count()
+            return
         store.append(batch_df, tag=f"{query_id[0]}-batch-{batch_id}")
 
     writer = (

@@ -450,6 +450,37 @@ def write_canonical_nquads(out_dir: str) -> None:
 
 # ------------------------------------------------------------- graph diff
 
+def _diff_bucket(conv_id, turn_idx) -> int:
+    """Deterministic snapshot-mutation bucket for (conv_id, turn_idx) —
+    the SINGLE Spark-free mirror of __spark_entry__._mutated_snapshot,
+    shared by write_graph_diff and write_triple_diff so the two golden
+    oracles can never encode different "new snapshots"."""
+    import hashlib as _hashlib
+
+    h = _hashlib.md5(f"{conv_id}:{turn_idx}".encode()).hexdigest()
+    return int(h[:2], 16) % 10
+
+
+def _diff_mutate(rows, b):
+    """Apply the bucket's mutation to one turn's rows (see _diff_bucket)."""
+    out = []
+    for r in rows:
+        r = dict(r)
+        if b == 1 and r["obj_kind"] == "literal":
+            r["obj_value"] = r["obj_value"] + " (edited)"
+        if b == 2:
+            if isinstance(r["subj"], str) and r["subj"].startswith("_:"):
+                r["subj"] = "_:zz" + r["subj"][2:]
+            if r["obj_kind"] == "bnode":
+                r["obj_value"] = "_:zz" + r["obj_value"][2:]
+            if isinstance(r.get("graph"), str) and r["graph"].startswith(
+                "_:"
+            ):
+                r["graph"] = "_:zz" + r["graph"][2:]
+        out.append(r)
+    return out
+
+
 def write_graph_diff(out_dir: str) -> None:
     """Kernel-only mirror of __spark_entry__._kg_graph_diff: apply the
     same deterministic snapshot mutation (md5(conv:turn) mod 10 buckets —
@@ -465,28 +496,6 @@ def write_graph_diff(out_dir: str) -> None:
 
     t = pd.read_parquet(os.path.join(out_dir, "triples.parquet"))
     t = t[t["error_code"].isna()]
-
-    def bucket(conv_id, turn_idx) -> int:
-        h = _hashlib.md5(f"{conv_id}:{turn_idx}".encode()).hexdigest()
-        return int(h[:2], 16) % 10
-
-    def mutate(rows, b):
-        out = []
-        for r in rows:
-            r = dict(r)
-            if b == 1 and r["obj_kind"] == "literal":
-                r["obj_value"] = r["obj_value"] + " (edited)"
-            if b == 2:
-                if isinstance(r["subj"], str) and r["subj"].startswith("_:"):
-                    r["subj"] = "_:zz" + r["subj"][2:]
-                if r["obj_kind"] == "bnode":
-                    r["obj_value"] = "_:zz" + r["obj_value"][2:]
-                if isinstance(r.get("graph"), str) and r["graph"].startswith(
-                    "_:"
-                ):
-                    r["graph"] = "_:zz" + r["graph"][2:]
-            out.append(r)
-        return out
 
     def fingerprint(rows):
         lines = [
@@ -505,10 +514,10 @@ def write_graph_diff(out_dir: str) -> None:
     for (conv_id, turn_idx), g in t.groupby(["conv_id", "turn_idx"], sort=True):
         key = (conv_id, int(turn_idx))
         rows = _clean_rows(g)
-        b = bucket(conv_id, int(turn_idx))
+        b = _diff_bucket(conv_id, int(turn_idx))
         old_fp[key] = fingerprint(rows)
         if b != 0:
-            new_fp[key] = fingerprint(mutate(rows, b))
+            new_fp[key] = fingerprint(_diff_mutate(rows, b))
         if b == 2:
             n_relabeled += 1
         if b == 3:
@@ -528,7 +537,7 @@ def write_graph_diff(out_dir: str) -> None:
         else:
             status = "changed"
         if status == "unchanged" or status == "changed":
-            b = bucket(*key)
+            b = _diff_bucket(*key)
             if b == 2:
                 assert status == "unchanged", (
                     f"relabeled turn {key} must be isomorphic"
@@ -585,28 +594,6 @@ def write_triple_diff(out_dir: str) -> None:
     t = pd.read_parquet(os.path.join(out_dir, "triples.parquet"))
     t = t[t["error_code"].isna()]
 
-    def bucket(conv_id, turn_idx) -> int:
-        h = _hashlib.md5(f"{conv_id}:{turn_idx}".encode()).hexdigest()
-        return int(h[:2], 16) % 10
-
-    def mutate(rows, b):
-        out = []
-        for r in rows:
-            r = dict(r)
-            if b == 1 and r["obj_kind"] == "literal":
-                r["obj_value"] = r["obj_value"] + " (edited)"
-            if b == 2:
-                if isinstance(r["subj"], str) and r["subj"].startswith("_:"):
-                    r["subj"] = "_:zz" + r["subj"][2:]
-                if r["obj_kind"] == "bnode":
-                    r["obj_value"] = "_:zz" + r["obj_value"][2:]
-                if isinstance(r.get("graph"), str) and r["graph"].startswith(
-                    "_:"
-                ):
-                    r["graph"] = "_:zz" + r["graph"][2:]
-            out.append(r)
-        return out
-
     def skolemized_rows(conv_id, turn_idx, rows):
         out = []
         for r in skolemize_turn_rows(rows, conv_id, int(turn_idx)):
@@ -623,11 +610,11 @@ def write_triple_diff(out_dir: str) -> None:
     relabeled_keys = set()
     for (conv_id, turn_idx), g in t.groupby(["conv_id", "turn_idx"], sort=True):
         rows = _clean_rows(g)
-        b = bucket(conv_id, int(turn_idx))
+        b = _diff_bucket(conv_id, int(turn_idx))
         old_side.update(skolemized_rows(conv_id, turn_idx, rows))
         if b != 0:
             new_side.update(
-                skolemized_rows(conv_id, turn_idx, mutate(rows, b))
+                skolemized_rows(conv_id, turn_idx, _diff_mutate(rows, b))
             )
         if b == 2:
             relabeled_keys.add((conv_id, int(turn_idx)))
@@ -663,11 +650,9 @@ def write_triple_diff(out_dir: str) -> None:
         pa.Table.from_arrays(arrays, names=names),
         os.path.join(out_dir, "triple_diff.parquet"),
     )
-    from collections import Counter as _C
-
     print(
         f"wrote triple_diff: {len(rows_out)} rows "
-        f"{dict(_C(r[-1] for r in rows_out))} "
+        f"{dict(Counter(r[-1] for r in rows_out))} "
         f"({len(relabeled_keys)} relabeled turns verified diff-free)"
     )
 
