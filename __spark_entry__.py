@@ -1174,7 +1174,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_GOLDEN}/canonical_nquads.parquet') "
             "WHERE error_code IS NULL), "
             "fps AS (SELECT conv_id, turn_idx, "
-            "md5(string_agg(nquad, chr(10) ORDER BY nquad)) AS graph_fp, "
+            "sha256(string_agg(nquad, chr(10) ORDER BY nquad)) AS graph_fp, "
             "count(*) AS n_quads FROM ok GROUP BY 1, 2) "
             "SELECT conv_id, turn_idx, graph_fp, n_quads, "
             "count(*) OVER (PARTITION BY graph_fp) AS group_size, "

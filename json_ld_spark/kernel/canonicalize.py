@@ -19,7 +19,13 @@ Serialization here is *canonical* N-Quads (N-Triples §canonical): ECHAR
 escapes only for backslash, quote, LF, CR — note this differs from
 ``functions/nquads.py`` (the export path), which also escapes TAB the
 way common processors emit; hashing only ever compares this module's
-own output with itself, so the two conventions never mix.
+own output with itself, so the two conventions never mix. JSON-LD base
+direction IS serialized (unlike the lossy export path): a literal with
+``obj_direction`` becomes a compound-datatype literal
+``"v"^^<https://www.w3.org/ns/i18n#lang_dir>`` per JSON-LD 1.1 toRdf's
+``rdfDirection: "i18n-datatype"`` option, so two turns differing only
+in ``@direction`` canonicalize to different bytes — required for the
+"isomorphic iff byte-identical" contract graph_dedup/graph_diff rely on.
 
 Poison-graph protection (spec Security Considerations): highly
 automorphic graphs drive Hash N-Degree Quads through factorial
@@ -37,6 +43,7 @@ from itertools import permutations
 from typing import Callable, Iterable, Mapping, Optional
 
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+I18N_NS = "https://www.w3.org/ns/i18n#"
 
 _BN_POSITIONS = ("subj", "obj_value", "graph")
 
@@ -119,7 +126,16 @@ def serialize_quad(
         o = f'"{_escape(q["obj_value"])}"'
         lang = q.get("obj_lang")
         dtype = q.get("obj_type")
-        if lang:
+        direction = q.get("obj_direction")
+        if direction:
+            # Base direction has no RDF 1.1 term; serialize it the way
+            # JSON-LD 1.1 toRdf's ``rdfDirection: "i18n-datatype"`` option
+            # does — a compound datatype IRI ``i18n#<lang>_<dir>`` (lang
+            # lowercased, empty when absent). Without this, literals
+            # differing only in @direction would hash byte-identical and
+            # graph_dedup/graph_diff would silently equate them.
+            o += f"^^<{I18N_NS}{(lang or '').lower()}_{direction}>"
+        elif lang:
             o += f"@{lang}"
         elif dtype and dtype != XSD_STRING:
             o += f"^^<{dtype}>"

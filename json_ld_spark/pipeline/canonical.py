@@ -172,8 +172,13 @@ FPS_SCHEMA = StructType(
 
 
 def turn_fingerprints(triples: DataFrame, max_work: int = 400) -> DataFrame:
-    """Per-turn canonical content address: ``fp = md5(sorted canonical
+    """Per-turn canonical content address: ``fp = sha256(sorted canonical
     N-Quad lines)`` — equal iff the turns carry isomorphic RDF datasets.
+    sha256, not md5: the fingerprint drives data-dropping decisions
+    (graph_dedup keep=false) over UNTRUSTED transcript content, and md5
+    chosen-prefix collisions are practical — an adversary could craft two
+    non-isomorphic turns that dedup as equal. The canonicalize kernel
+    already hashes with sha256; this matches it.
 
     The fingerprint is computed INSIDE the streaming-group walker, where
     the turn's sorted canonical lines already sit in memory: a
@@ -198,7 +203,7 @@ def turn_fingerprints(triples: DataFrame, max_work: int = 400) -> DataFrame:
         ]
         if not lines:  # quarantined: no isomorphism verdict exists
             return [(conv_id, turn_idx, None, 0)]
-        fp = hashlib.md5("\n".join(lines).encode()).hexdigest()
+        fp = hashlib.sha256("\n".join(lines).encode()).hexdigest()
         return [(conv_id, turn_idx, fp, len(lines))]
 
     return map_turn_groups(triples, finish, FPS_SCHEMA)
@@ -282,11 +287,13 @@ def graph_diff(
     )
 
 
-def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:
+def graph_dedup(
+    triples: DataFrame, max_work: int = 400, min_group_size: int = 1
+) -> DataFrame:
     """Graph-level turn dedup: two turns are duplicates iff their RDF
     datasets are isomorphic — exactly when their canonical N-Quads are
     byte-identical. The canonical serialization therefore acts as a
-    content address: ``graph_fp = md5(sorted canonical lines)``, and each
+    content address: ``graph_fp = sha256(sorted canonical lines)``, and each
     fingerprint group keeps its (conv_id, turn_idx)-least member.
 
     This is the dedup a training pipeline needs that exact text/row hashing
@@ -301,6 +308,14 @@ def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:
     map-side-combining, skew-safe shape; a window over fp would sort whole
     degenerate groups on one task. Too-automorphic turns (NULL fp from
     the kernel) are excluded: no isomorphism verdict exists for them.
+
+    ``min_group_size`` bounds the REPORT path at corpus scale: at 10^12
+    turns the default (1) materializes one output row per turn even when
+    almost every fingerprint group is a singleton. Passing 2 keeps only
+    actual duplicate groups — the filter lands on the grouped-aggregate
+    side (post map-side combine), so singleton groups never reach the
+    join or the output. Default behavior (and the driver oracle) is
+    unchanged.
     """
     fps = turn_fingerprints(triples, max_work=max_work).where(
         F.col("graph_fp").isNotNull()
@@ -309,6 +324,8 @@ def graph_dedup(triples: DataFrame, max_work: int = 400) -> DataFrame:
         F.min(F.struct("conv_id", "turn_idx")).alias("rep"),
         F.count(F.lit(1)).alias("group_size"),
     )
+    if min_group_size > 1:
+        reps = reps.where(F.col("group_size") >= min_group_size)
     return fps.join(reps, "graph_fp").select(
         "conv_id",
         "turn_idx",

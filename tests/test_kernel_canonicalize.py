@@ -21,7 +21,7 @@ XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 
 
-def q(s, p, o, g=None, lit=False, lang=None, dtype=None):
+def q(s, p, o, g=None, lit=False, lang=None, dtype=None, direction=None):
     return {
         "subj": s,
         "pred": p,
@@ -29,6 +29,7 @@ def q(s, p, o, g=None, lit=False, lang=None, dtype=None):
         "obj_value": o,
         "obj_type": dtype,
         "obj_lang": lang,
+        "obj_direction": direction,
         "graph": g,
     }
 
@@ -66,6 +67,40 @@ def test_serialize_literal_escapes_and_xsd_string_suppression():
     # canonical N-Quads: TAB stays literal (unlike the export serializer)
     line = serialize_quad(q("http://e/s", "http://e/p", "a\tb", lit=True))
     assert line == '<http://e/s> <http://e/p> "a\tb" .\n'
+
+
+def test_serialize_direction_i18n_datatype():
+    """Base direction serializes as the i18n compound datatype (JSON-LD
+    1.1 toRdf rdfDirection=i18n-datatype): direction-only-different
+    literals must NOT produce byte-identical canonical lines (the loss
+    ADVICE r4 flagged — graph_dedup would silently drop a real variant)."""
+    with_dir = serialize_quad(
+        q("http://e/s", "http://e/p", "hi", lit=True, lang="EN", direction="rtl")
+    )
+    assert with_dir == (
+        '<http://e/s> <http://e/p> "hi"^^<https://www.w3.org/ns/i18n#en_rtl> .\n'
+    )  # lang lowercased per the toRdf algorithm
+    # direction without language: empty lang part
+    assert serialize_quad(
+        q("http://e/s", "http://e/p", "hi", lit=True, direction="ltr")
+    ) == '<http://e/s> <http://e/p> "hi"^^<https://www.w3.org/ns/i18n#_ltr> .\n'
+    # ltr vs rtl vs no-direction: three distinct serializations
+    lines = {
+        serialize_quad(q("http://e/s", "http://e/p", "hi", lit=True, lang="en", direction=d))
+        for d in ("ltr", "rtl", None)
+    }
+    assert len(lines) == 3
+
+
+def test_canonicalize_distinguishes_direction_only_difference():
+    d1 = [q("_:b0", "http://e/p", "hi", lit=True, lang="en", direction="ltr")]
+    d2 = [q("_:b0", "http://e/p", "hi", lit=True, lang="en", direction="rtl")]
+    d3 = [q("_:b0", "http://e/p", "hi", lit=True, lang="en")]
+    c1, c2, c3 = map(canonicalize_quads, (d1, d2, d3))
+    assert c1 != c2 and c1 != c3 and c2 != c3
+    # and the independent refinement canonicalizer agrees on every verdict
+    assert canonical_triples(d1) != canonical_triples(d2)
+    assert canonical_triples(d1) != canonical_triples(d3)
 
 
 def test_serialize_lang_datatype_graph():
