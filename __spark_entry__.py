@@ -313,7 +313,13 @@ def _kg_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.extract import extract_triples
     from json_ld_spark.pipeline.transcripts import synth_transcripts
 
-    old = extract_triples(synth_transcripts(spark, sf_dir))
+    # Persist the shared base extraction: both diff sides derive from it
+    # (old directly, new via _mutated_snapshot), and without a persist
+    # each side's lineage re-runs the whole extraction. At production
+    # scale the inputs are persisted snapshot tables anyway, so this makes
+    # the bench honest about the diff operator's own cost.
+    old = extract_triples(synth_transcripts(spark, sf_dir)).persist()
+    old.count()  # materialize: both sides scan the cache, not the lineage
     return graph_diff(old, _mutated_snapshot(old)).orderBy(
         "conv_id", "turn_idx"
     )
@@ -392,7 +398,10 @@ def _kg_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_ld_spark.pipeline.extract import extract_triples
     from json_ld_spark.pipeline.transcripts import synth_transcripts
 
-    old = extract_triples(synth_transcripts(spark, sf_dir))
+    # Same persist rationale as _kg_graph_diff: both skolemization passes
+    # share the base extraction lineage.
+    old = extract_triples(synth_transcripts(spark, sf_dir)).persist()
+    old.count()  # materialize: both sides scan the cache, not the lineage
     return triple_diff(
         skolemize_triples(old), skolemize_triples(_mutated_snapshot(old))
     ).orderBy(

@@ -296,7 +296,14 @@ def run_stream_transcripts_to_snapshots(
             # before the first batch runs (foreachBatch runs driver-side)
             query_id.append(_checkpoint_query_id(spark, checkpoint_dir))
         if legacy_tags and store.has_tag(f"transcripts-batch-{batch_id}"):
-            return  # committed pre-upgrade under the legacy tag format
+            # Consume the batch before skipping the append, mirroring the
+            # triples-stream variant: the transcript plan is stateless
+            # TODAY, but if a watermark/dedup is ever added upstream,
+            # Spark's state-store commit validation requires foreachBatch
+            # to process every partition — an early return without
+            # consumption would start failing micro-batches.
+            batch_df.count()
+            return
         store.append(
             batch_df, tag=f"transcripts-{query_id[0]}-batch-{batch_id}"
         )

@@ -122,11 +122,21 @@ def main() -> None:
             ).write.mode("overwrite").parquet(
                 os.path.join(args.out, "diff")
             )
+    skol_quarantined = None
     if args.skolemize:
         from json_ld_spark.pipeline.canonical import skolemize_triples
 
-        clean = skolemize_triples(res.triples).where(
-            F.col("error_code").isNull()
+        # Quarantined (too-automorphic) turns publish with their ORIGINAL
+        # blank labels and error_code set — they would have been published
+        # without the flag, so filtering them here would silently shrink
+        # the table; the summary reports how many turns lack stable skolem
+        # IRIs so orchestration can alert instead of guessing.
+        clean = skolemize_triples(res.triples)
+        skol_quarantined = (
+            clean.where(F.col("error_code").isNotNull())
+            .select("conv_id", "turn_idx")
+            .distinct()
+            .count()
         )
     (
         clean.withColumn("__bucket", bucket_of(F.col("conv_id"), args.n_buckets))
@@ -148,6 +158,8 @@ def main() -> None:
         "wall_s": round(time.perf_counter() - t0, 2),
         "out": args.out,
     }
+    if skol_quarantined is not None:
+        summary["skolem_quarantined_turns"] = skol_quarantined
     print(json.dumps(summary))
     spark.stop()
 
