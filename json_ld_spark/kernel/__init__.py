@@ -29,7 +29,12 @@ from .expand_doc import (
 )
 from .compact import compact_document, compact_iri, compact_value, normalize_expanded
 from .flatten import flatten_document, flatten_expanded, flatten_stats
-from .frame import expand_frame, frame_document, frame_expanded
+from .frame import (
+    expand_frame,
+    frame_and_compact,
+    frame_document,
+    frame_expanded,
+)
 from .from_rdf import triples_to_expanded
 from .profile import LoadDocumentOptions, Profile, RequestProfile
 
@@ -54,6 +59,7 @@ __all__ = [
     "flatten_expanded",
     "flatten_stats",
     "expand_frame",
+    "frame_and_compact",
     "frame_document",
     "frame_expanded",
     "triples_to_expanded",

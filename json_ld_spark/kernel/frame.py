@@ -34,14 +34,15 @@ exercises, and the shape the W3C framing test suite's core cases use):
   reference mirrors (``src/error.rs`` carries no framing codes), and are
   added to our taxonomy as documented extensions.
 
+- **Compaction cleanup pass** (§4.1 steps 19/21): ``frame_and_compact``
+  compacts the framed output against the frame's own ``@context`` and
+  replaces the spec's ``"@null"`` markers with JSON ``null`` — which is
+  why ``@omitDefault`` can default to FALSE here exactly as the spec
+  says (markers are no longer noise; they surface as the documented
+  ``null`` values users match on). ``frame_expanded`` returns expanded
+  framed output with the markers intact for the cleanup pass.
+
 Documented deviations (scope-honesty):
-- ``@omitDefault`` defaults to TRUE at the API level (the spec default is
-  false): we return expanded framed output, where the spec's ``"@null"``
-  markers are pure noise until a compaction cleanup pass removes them.
-  Spec-faithful marker emission is fully implemented — set
-  ``"@omitDefault": false`` in the frame (inherited by subframes,
-  overridable per subframe) and missing frame properties yield
-  ``["@null"]`` exactly as Framing §3.1 steps 4.3.2-4.3.3 describe.
 - ``@embed`` ``@first``/``@last`` (JSON-LD 1.0 compat aliases) map to
   ``@once``/``@always``.
 """
@@ -454,7 +455,10 @@ def frame_expanded(
                 _embed_node(
                     node_id, frame, graph, embedded={node_id},
                     path=(), inherited_embed="@once",
-                    inherited_explicit=False, inherited_omit=True,
+                    # spec default: omitDefault=false — missing frame
+                    # properties yield ["@null"] markers, which the
+                    # frame_and_compact cleanup pass turns into null
+                    inherited_explicit=False, inherited_omit=False,
                     node_map=node_map,
                 )
             )
@@ -476,3 +480,58 @@ def frame_document(
         processor, frame_ctx if frame_ctx is not None else active_ctx, frame
     )
     return frame_expanded(expanded, expanded_frame)
+
+
+def _null_cleanup(value: Any) -> Any:
+    """Framing §4.1 step 21: replace ``"@null"`` markers with JSON
+    ``null``; an array whose every member was a marker collapses to
+    ``null``, a mixed array just drops its markers."""
+    if value == "@null":
+        return None
+    if isinstance(value, list):
+        items = [_null_cleanup(v) for v in value]
+        kept = [v for v in items if v is not None]
+        if items and not kept:
+            return None
+        return kept
+    if isinstance(value, Mapping):
+        return {k: _null_cleanup(v) for k, v in value.items()}
+    return value
+
+
+def frame_and_compact(
+    processor,
+    active_ctx,
+    document: Mapping[str, Any] | list,
+    frame: Mapping[str, Any],
+    *,
+    compact_to_relative: bool = True,
+) -> list[Any]:
+    """Framing §4.1 steps 18-21 end-to-end: frame the document, COMPACT
+    the framed output against the frame's own ``@context`` (falling back
+    to ``active_ctx``), then replace the ``"@null"`` markers the spec
+    default (``@omitDefault: false``) emits with JSON ``null`` — the
+    cleanup pass that makes the markers useful instead of noise.
+
+    Returns the list of compacted framed roots; attaching ``@context``
+    and the (1.1-default ``omitGraph``) single-vs-``@graph`` wrapping is
+    the serializer's concern, matching how ``compact_document`` callers
+    already work here."""
+    from .compact import compact_document
+    from .context_processing import process_context
+
+    frame_ctx = active_ctx
+    ctx_value = frame.get("@context") if isinstance(frame, Mapping) else None
+    if ctx_value is not None:
+        frame_ctx = process_context(
+            processor, active_ctx, ctx_value, processor.document_iri
+        )
+    framed = frame_document(
+        processor, active_ctx, document, frame, frame_ctx=frame_ctx
+    )
+    compacted = compact_document(
+        frame_ctx, framed, compact_to_relative=compact_to_relative
+    )
+    if not isinstance(compacted, list):
+        compacted = [compacted]
+    return [_null_cleanup(node) for node in compacted]

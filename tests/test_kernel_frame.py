@@ -220,6 +220,49 @@ def test_omit_default_inherited_and_overridable(expanded):
     assert "http://ex.org/missing" not in b  # subframe overrode to omit
 
 
+def test_omit_default_spec_default_is_false(expanded):
+    """Spec default (@omitDefault: false) WITHOUT saying so in the frame:
+    an @id-matched node lacking a wildcard frame property gets the
+    ["@null"] marker — the r4 deviation (defaulting to true) is gone."""
+    framed = frame_expanded(
+        expanded,
+        {
+            "@id": ["http://ex.org/e1"],
+            "http://ex.org/label": [{}],
+            "http://ex.org/missing": [{}],
+        },
+    )
+    assert framed[0]["http://ex.org/missing"] == ["@null"]
+
+
+def test_frame_and_compact_null_cleanup(env):
+    """Framing §4.1 steps 19/21: frame_and_compact compacts framed output
+    against the frame's own @context and turns "@null" markers into JSON
+    null — the cleanup pass that makes the spec default usable."""
+    from json_ld_spark.kernel import frame_and_compact
+
+    proc, ctx = env
+    frame = {
+        "@context": {
+            "name": "http://ex.org/name",
+            "missing": "http://ex.org/missing",
+            "Person": "http://ex.org/Person",
+        },
+        "@type": "Person",
+        "name": {},
+        "missing": {},
+    }
+    roots = frame_and_compact(proc, ctx, DOC, frame)
+    assert {r["@id"] for r in roots} == {"http://ex.org/a", "http://ex.org/b"}
+    for r in roots:
+        assert r["missing"] is None  # marker → null, array collapsed
+        assert r["name"] in ("A", "B")  # compacted term, not the IRI
+    # mixed array keeps real values and drops only the markers
+    assert frame_and_compact(
+        proc, ctx, DOC, {"@type": "http://ex.org/Event"}
+    )[0]["@id"] == "http://ex.org/e1"
+
+
 def test_empty_frame_never_embed_reproduces_flatten_shape(expanded):
     """Invariant: frame {} with @embed @never returns every node with its
     flattened properties and bare references — the flatten node map

@@ -94,6 +94,12 @@ def test_w3c_case(case, env):
             expanded,
             expand_frame(proc, Context(base=document_iri), case["frame"]),
         )
+    elif case.get("type") == "frameCompact":
+        from json_ld_spark.kernel import Context, frame_and_compact
+
+        got = frame_and_compact(
+            proc, Context(base=document_iri), expanded, case["frame"]
+        )
     else:
         got = expanded
     assert got == case["expect"], json.dumps(got, indent=1)
