@@ -1031,6 +1031,23 @@ def _compact_case(col: str) -> str:
     )
 
 
+def jobs() -> dict[str, str]:
+    """``queries()`` keys that are end-to-end JOB benchmarks — multiple
+    full pipeline executions plus state commits inside one callable —
+    rather than single-operator timings. bench.py consumes this map to
+    report ``suite_operator_runtime`` and ``suite_job_runtime``
+    separately, so weather drift in the job bench can't mask (or fake)
+    operator regressions in cross-round suite-total comparisons. The
+    value documents WHY each entry is a job."""
+    return {
+        "kg_nodes_incremental": (
+            "two full pipeline executions (bootstrap + incremental "
+            "append) including crash-atomic state persistence "
+            "(5 tables x 2 commits)"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     n_hashes, n_bands = 16, 4
     rows = n_hashes // n_bands

@@ -80,11 +80,10 @@ def main() -> None:
             print(f"# FAIL {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # end-to-end JOB benchmarks (multiple full pipeline executions + state
-    # commits inside one query) reported separately from single-operator
-    # timings, so weather drift in the job bench can't mask (or fake)
-    # operator regressions in suite-total comparisons
-    job_queries = {"kg_nodes_incremental"}
+    # operator-vs-job split comes from the __spark_entry__.jobs() contract
+    # (end-to-end job benchmarks reported separately from single-operator
+    # timings, so job-bench weather can't mask operator regressions)
+    job_queries = set(getattr(entrymod, "jobs", dict)())
     job_total = round(
         sum(t for q, t in timings.items() if q in job_queries and t >= 0), 3
     )

@@ -109,16 +109,29 @@ class TurnExpander:
         self.document_iri = document_iri
         self._cache: dict[str, Context] = {}
         self._doc_cache: dict[str, tuple[tuple, ...]] = {}
+        # memoization hit-rate, surfaced through the extraction metrics
+        # accumulator: real corpora reuse a handful of inline @context
+        # blobs across millions of turns (the reference keeps a per-run
+        # remote-context cache for the same reason —
+        # /root/reference/src/remote.rs:29-38), so ctx_hits/(hits+misses)
+        # ≈ 1 is the expected steady state; a low rate on a production
+        # run is a red flag that context JSON is being perturbed per turn
+        self.cache_stats = {
+            "ctx_hits": 0, "ctx_misses": 0, "doc_hits": 0, "doc_misses": 0,
+        }
 
     def _active_context(self, ctx_value) -> Context:
         key = json.dumps(ctx_value, sort_keys=True, separators=(",", ":"))
         ctx = self._cache.get(key)
         if ctx is None:
+            self.cache_stats["ctx_misses"] += 1
             ctx = process_context(
                 self.processor, Context(base=self.document_iri),
                 ctx_value, self.document_iri,
             )
             self._cache[key] = ctx
+        else:
+            self.cache_stats["ctx_hits"] += 1
         return ctx
 
     def _expand_doc(self, raw: str) -> tuple[tuple, ...]:
@@ -126,7 +139,9 @@ class TurnExpander:
         the conv_id/turn_idx prefix), memoized on the raw string."""
         cached = self._doc_cache.get(raw)
         if cached is not None:
+            self.cache_stats["doc_hits"] += 1
             return cached
+        self.cache_stats["doc_misses"] += 1
         out: list[tuple] = []
         try:
             doc = json.loads(raw)
@@ -260,11 +275,13 @@ def flatten_turn_stats(
 
 
 class TaskMetricsParam:
-    """AccumulatorParam collecting per-task (input_rows, kernel_seconds)
-    tuples — the straggler-detection surface of SURVEY §5.2-6 (max task ≤
-    2× median after salted repartition). Listener-free: works with the UI
-    disabled and measures exactly the stage where conv-level skew would
-    concentrate (the Python kernel)."""
+    """AccumulatorParam collecting per-task ``(input_rows, kernel_seconds,
+    ctx_hits, ctx_misses, doc_hits, doc_misses)`` tuples — the
+    straggler-detection surface of SURVEY §5.2-6 (max task ≤ 2× median
+    after salted repartition) plus the TurnExpander memoization hit-rates
+    (context-compile and whole-document caches). Listener-free: works
+    with the UI disabled and measures exactly the stage where conv-level
+    skew would concentrate (the Python kernel)."""
 
     @staticmethod
     def zero(value):
@@ -371,9 +388,14 @@ def extract_triples(
                 rows.extend(turn_rows)
             yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
         if task_metrics_acc is not None:
-            # one (input_rows, kernel_seconds) sample per task — the
-            # straggler surface (TaskMetricsParam)
-            task_metrics_acc.add([(n_in, _time.perf_counter() - t0)])
+            # one sample per task — straggler surface + memoization
+            # hit-rates (TaskMetricsParam)
+            cs = expander.cache_stats
+            task_metrics_acc.add([(
+                n_in, _time.perf_counter() - t0,
+                cs["ctx_hits"], cs["ctx_misses"],
+                cs["doc_hits"], cs["doc_misses"],
+            )])
 
     return candidates.mapInPandas(expand_batches, schema=TRIPLE_SCHEMA)
 

