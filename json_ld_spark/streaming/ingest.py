@@ -198,6 +198,131 @@ def run_stream_to_snapshots(
     return writer.start()
 
 
+def _latest_fingerprints(spark: SparkSession, fps_root: str):
+    """Latest persisted fingerprint per turn (merge-on-read over the
+    append-only per-commit partitions; ``None`` when no state exists).
+    A periodic compaction job can rewrite the partitions to one row per
+    turn without changing this reader."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(fps_root)
+    except AnalysisException:
+        return None
+    latest = (
+        df.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.max_by(
+                F.struct("graph_fp", "n_quads"), F.col("commit_seq")
+            ).alias("s")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("s.graph_fp").alias("graph_fp"),
+            F.col("s.n_quads").alias("n_quads"),
+        )
+    )
+    return latest
+
+
+def run_stream_to_snapshots_with_change_feed(
+    spark: SparkSession,
+    source_dir: str,
+    store,
+    checkpoint_dir: str,
+    state_dir: str,
+    contexts: Optional[ContextDict] = None,
+    available_now: bool = True,
+    max_work: int = 400,
+):
+    """Streaming snapshot ingest + per-commit graph-isomorphism change
+    feed (the incremental form of ``pipeline/canonical.graph_diff``).
+
+    Each micro-batch of extracted triples:
+
+    1. commits to the snapshot store exactly-once (same tagged-append
+       guard as :func:`run_stream_to_snapshots`);
+    2. fingerprints per turn (``turn_fingerprints`` — one exchange, one
+       row per turn, quarantine → NULL fp);
+    3. diffs against the persisted cumulative fingerprint state with
+       ``graph_diff(old_fingerprints=...)`` — so a daily/continuous diff
+       never re-canonicalizes history, only the new commit;
+    4. writes the commit's change feed under ``state_dir/feed/`` and its
+       fingerprints under ``state_dir/fps/`` (per-commit partitions).
+
+    Feed semantics — statuses for the turns IN THIS COMMIT: ``added``
+    (turn key never seen), ``changed``/``unchanged`` (isomorphism verdict
+    against the turn's latest persisted fingerprint — a re-sent turn that
+    merely minted fresh blank labels is ``unchanged``), ``unknown``
+    (either side quarantined as too automorphic). ``removed`` is filtered
+    out: a full-outer diff against cumulative state would report every
+    absent historical turn as removed, which is not what an append-only
+    commit feed means.
+
+    Exactly-once: triples reuse the store's tagged commit; fingerprints
+    and feed write ``mode("overwrite")`` into a deterministic per-tag
+    directory, so a crash-replayed micro-batch rewrites identical bytes
+    instead of duplicating state. The batch equality contract (feed ==
+    batch-side ``graph_diff`` over the same two snapshots) is pinned by
+    tests/test_streaming_ingest.py."""
+    import os
+
+    from ..pipeline.canonical import FPS_SCHEMA, graph_diff, turn_fingerprints
+
+    fps_root = os.path.join(state_dir, "fps")
+    feed_root = os.path.join(state_dir, "feed")
+    transcripts = stream_transcript_source(spark, source_dir)
+    # NO within-watermark turn dedup here, unlike run_stream_to_snapshots:
+    # that dedup keys on (conv_id, turn_idx) alone, so it would drop
+    # UPDATES — a re-sent turn with new payload — which are exactly what
+    # the change feed exists to report. Byte-identical replays are still
+    # harmless: they surface as 'unchanged' feed rows, and the tagged
+    # store append stays exactly-once. Sources must deliver at most one
+    # version of a turn per micro-batch (file drops do), else the turn's
+    # versions would merge into one fingerprint group.
+    triples = stream_extract_triples(
+        transcripts, contexts, dedup_within_watermark=False
+    )
+    query_id: list[str] = []
+
+    def commit(batch_df, batch_id: int) -> None:
+        if not query_id:
+            query_id.append(_checkpoint_query_id(spark, checkpoint_dir))
+        tag = f"{query_id[0]}-batch-{batch_id}"
+        batch_df = batch_df.persist()
+        try:
+            store.append(batch_df, tag=tag)
+            new_fps = turn_fingerprints(batch_df, max_work=max_work).persist()
+            try:
+                old = _latest_fingerprints(spark, fps_root)
+                if old is None:  # first commit: diff against empty state
+                    old = spark.createDataFrame([], FPS_SCHEMA)
+                feed = graph_diff(
+                    None, None, old_fingerprints=old, new_fingerprints=new_fps
+                ).where(F.col("status") != "removed")
+                feed.write.mode("overwrite").parquet(
+                    os.path.join(feed_root, f"commit={tag}")
+                )
+                new_fps.withColumn(
+                    "commit_seq", F.lit(batch_id).cast("long")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(fps_root, f"commit={tag}")
+                )
+            finally:
+                new_fps.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        triples.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     source_dir: str,

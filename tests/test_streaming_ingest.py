@@ -296,3 +296,109 @@ def test_triples_stream_legacy_tag_optin(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert store.read().count() == n_before
+
+
+def test_stream_change_feed_equals_batch_graph_diff(spark, tmp_path):
+    """VERDICT r5 stretch: the streaming per-commit change feed (persisted
+    fingerprints + graph_diff(old_fingerprints=...) per micro-batch) must
+    equal the batch graph_diff over the same two snapshots. Micro-batch 2
+    re-sends one turn isomorphically relabeled (must feed as 'unchanged'),
+    edits one literal ('changed'), and introduces one turn ('added')."""
+    import json as _json
+
+    from json_ld_spark.pipeline.canonical import (
+        graph_diff,
+        turn_fingerprints,
+    )
+    from json_ld_spark.streaming.ingest import (
+        _latest_fingerprints,
+        run_stream_to_snapshots_with_change_feed,
+    )
+    from json_ld_spark.pipeline.snapshots import ParquetSnapshotStore
+
+    source = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    os.makedirs(source)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "store"))
+
+    def doc(pairs=None, edits=None):
+        # two anonymous (blank) children: swapping their array order mints
+        # blank labels in a different order — textually different,
+        # isomorphic RDF
+        kids = [{"http://e/q": v} for v in (pairs or ["A", "B"])]
+        return _json.dumps({"@id": "http://e/root", "http://e/kids": kids,
+                            **(edits or {})})
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    batch1 = spark.createDataFrame(
+        [
+            ("c1", 0, "tool", None, doc(["A", "B"])),
+            ("c2", 0, "tool", None,
+             _json.dumps({"@id": "http://e/c2", "http://e/q": "before"})),
+        ],
+        schema,
+    ).withColumn("ts", F.current_timestamp())
+    batch2 = spark.createDataFrame(
+        [
+            ("c1", 0, "tool", None, doc(["B", "A"])),  # isomorphic relabel
+            ("c2", 0, "tool", None,
+             _json.dumps({"@id": "http://e/c2", "http://e/q": "after"})),
+            ("c3", 0, "tool", None,
+             _json.dumps({"@id": "http://e/c3", "http://e/q": "new"})),
+        ],
+        schema,
+    ).withColumn("ts", F.current_timestamp() + F.expr("INTERVAL 365 DAYS"))
+
+    def drain():
+        q = run_stream_to_snapshots_with_change_feed(
+            spark, source, store, ckpt, state, available_now=True
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    batch1.coalesce(1).write.mode("append").parquet(source)
+    drain()
+    batch2.coalesce(1).write.mode("append").parquet(source)
+    drain()
+
+    feed = spark.read.parquet(os.path.join(state, "feed"))
+    feed_cols = ["conv_id", "turn_idx", "status", "old_fp", "new_fp",
+                 "old_n_quads", "new_n_quads"]
+    feeds = sorted({r["commit"] for r in feed.select("commit").collect()})
+    assert len(feeds) == 2
+    feed1 = feed.where(F.col("commit") == feeds[0])
+    feed2 = feed.where(F.col("commit") == feeds[1])
+
+    # commit 1: everything is new
+    assert {(r.conv_id, r.status) for r in feed1.collect()} == {
+        ("c1", "added"), ("c2", "added"),
+    }
+    # commit 2: isomorphic relabel = unchanged, literal edit = changed
+    assert {(r.conv_id, r.status) for r in feed2.collect()} == {
+        ("c1", "unchanged"), ("c2", "changed"), ("c3", "added"),
+    }
+
+    # the feed must EQUAL the batch graph_diff over the same snapshots
+    old_fps = turn_fingerprints(extract_triples(batch1, dedup=False))
+    new_fps = turn_fingerprints(extract_triples(batch2, dedup=False))
+    expected = graph_diff(
+        None, None, old_fingerprints=old_fps, new_fingerprints=new_fps
+    ).where(F.col("status") != "removed")
+    got2 = sorted(map(tuple, feed2.select(feed_cols).collect()))
+    want2 = sorted(map(tuple, expected.select(feed_cols).collect()))
+    assert got2 == want2
+
+    # cumulative persisted state = latest fingerprint per turn
+    latest = {
+        (r.conv_id, r.turn_idx): r.graph_fp
+        for r in _latest_fingerprints(
+            spark, os.path.join(state, "fps")
+        ).collect()
+    }
+    want_latest = {
+        (r.conv_id, r.turn_idx): r.graph_fp for r in new_fps.collect()
+    }
+    want_latest.update({})  # c1/c2/c3 all re-sent in batch2; keys equal
+    assert latest == want_latest
