@@ -115,6 +115,21 @@ def test_graph_dedup_collapses_isomorphic_turns(spark):
     assert out[("c3", 2)].keep and out[("c3", 2)].group_size == 1
     assert out[("c3", 2)].graph_fp != iso[0].graph_fp
 
+    # min_group_size=2 (the corpus-scale REPORT knob): only actual
+    # duplicate groups survive — the singleton c3 never reaches the
+    # output, and the duplicate group is byte-identical to the default
+    # run's rows for the same turns (flag changes coverage, not content)
+    only_dups = {
+        (r.conv_id, r.turn_idx): r
+        for r in graph_dedup(df, max_work=50, min_group_size=2).collect()
+    }
+    assert set(only_dups) == {("c1", 0), ("c2", 5), ("c1", 9)}
+    for key, r in only_dups.items():
+        assert (r.graph_fp, r.n_quads, r.group_size, r.keep) == (
+            out[key].graph_fp, out[key].n_quads,
+            out[key].group_size, out[key].keep,
+        )
+
 
 def test_graph_diff_statuses(spark):
     old_rows = [
