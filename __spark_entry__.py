@@ -200,6 +200,22 @@ def _kg_framed_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_framed_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framing §4.1 steps 18-21 END-TO-END (round 5): frame every
+    document (spec default @omitDefault=false), COMPACT against the
+    frame's own @context, clean "@null" markers to JSON null
+    (kernel/frame.cleanup_null_markers); per framed root emit compacted
+    key count, null-cleaned property count, and an md5 fingerprint of
+    the canonical compacted JSON. Oracle: Spark-free kernel-loop golden
+    (tools/make_golden.py write_framed_compact)."""
+    from json_ld_spark.pipeline.extract import frame_compact_turn_entities
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    return frame_compact_turn_entities(
+        synth_transcripts(spark, sf_dir)
+    ).orderBy("conv_id", "turn_idx", "doc_idx", "root_id")
+
+
 
 def _kg_compact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full section-6.1 compaction end-to-end (kernel/compact.py): every
@@ -942,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads": _kg_nquads,
         "kg_flatten_stats": _kg_flatten_stats,
         "kg_framed_entities": _kg_framed_entities,
+        "kg_framed_compact": _kg_framed_compact,
         "kg_compact_docs": _kg_compact_docs,
         "kg_from_rdf": _kg_from_rdf,
         "kg_canonical_nquads": _kg_canonical_nquads,
@@ -1218,6 +1235,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, doc_idx, root_id, n_props, "
             "n_embedded, frame_fp "
             f"FROM read_parquet('{_GOLDEN}/framed_entities.parquet') "
+            "ORDER BY conv_id, turn_idx, doc_idx, root_id"
+        ),
+        "kg_framed_compact": (
+            "SELECT conv_id, turn_idx, doc_idx, root_id, n_keys, "
+            "n_null, compact_fp "
+            f"FROM read_parquet('{_GOLDEN}/framed_compact.parquet') "
             "ORDER BY conv_id, turn_idx, doc_idx, root_id"
         ),
         "kg_mentions": (

@@ -30,6 +30,7 @@ from .expand_doc import (
 from .compact import compact_document, compact_iri, compact_value, normalize_expanded
 from .flatten import flatten_document, flatten_expanded, flatten_stats
 from .frame import (
+    cleanup_null_markers,
     expand_frame,
     frame_and_compact,
     frame_document,
@@ -58,6 +59,7 @@ __all__ = [
     "flatten_document",
     "flatten_expanded",
     "flatten_stats",
+    "cleanup_null_markers",
     "expand_frame",
     "frame_and_compact",
     "frame_document",

@@ -482,20 +482,20 @@ def frame_document(
     return frame_expanded(expanded, expanded_frame)
 
 
-def _null_cleanup(value: Any) -> Any:
+def cleanup_null_markers(value: Any) -> Any:
     """Framing §4.1 step 21: replace ``"@null"`` markers with JSON
     ``null``; an array whose every member was a marker collapses to
     ``null``, a mixed array just drops its markers."""
     if value == "@null":
         return None
     if isinstance(value, list):
-        items = [_null_cleanup(v) for v in value]
+        items = [cleanup_null_markers(v) for v in value]
         kept = [v for v in items if v is not None]
         if items and not kept:
             return None
         return kept
     if isinstance(value, Mapping):
-        return {k: _null_cleanup(v) for k, v in value.items()}
+        return {k: cleanup_null_markers(v) for k, v in value.items()}
     return value
 
 
@@ -534,4 +534,4 @@ def frame_and_compact(
     )
     if not isinstance(compacted, list):
         compacted = [compacted]
-    return [_null_cleanup(node) for node in compacted]
+    return [cleanup_null_markers(node) for node in compacted]

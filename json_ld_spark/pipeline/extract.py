@@ -519,6 +519,130 @@ def frame_turn_entities(
     return candidates.mapInPandas(framed_batches, schema=FRAMED_SCHEMA)
 
 
+FRAMED_COMPACT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("doc_idx", IntegerType()),
+        StructField("root_id", StringType()),
+        StructField("n_keys", IntegerType()),
+        StructField("n_null", IntegerType()),
+        StructField("compact_fp", StringType()),
+    ]
+)
+
+# default COMPACTING frame: entity roots by schema:name, plus a property
+# most roots lack (jobTitle) so the spec-default @omitDefault=false path
+# and the §4.1 "@null"→null cleanup are exercised on real corpus data
+DEFAULT_COMPACT_FRAME: dict = {
+    "@context": {
+        "name": "http://schema.org/name",
+        "knows": "http://schema.org/knows",
+        "jobTitle": "http://schema.org/jobTitle",
+    },
+    "name": {},
+    "jobTitle": {},
+}
+
+
+def frame_compact_turn_entities(
+    transcripts: DataFrame,
+    contexts: Optional[ContextDict] = None,
+    frame: Optional[dict] = None,
+) -> DataFrame:
+    """Framing §4.1 steps 18-21 END-TO-END per JSON-bearing turn: each
+    document expands, frames (spec default ``@omitDefault: false`` — the
+    round-5 flip), COMPACTS against the frame's own ``@context``, and the
+    ``"@null"`` markers become JSON ``null`` (kernel/frame.py
+    ``cleanup_null_markers``). Per framed root one row: compacted key
+    count, the number of null-cleaned (framed-but-missing) properties,
+    and an md5 fingerprint of the canonical compacted JSON — a bit-exact
+    pin of the whole §4.1 output shape for the golden oracle. Same
+    Arrow-batched map-only plan as frame_turn_entities."""
+    import hashlib
+
+    from ..kernel import (
+        cleanup_null_markers,
+        compact_document,
+        expand_frame,
+        frame_expanded,
+    )
+
+    frame = frame or DEFAULT_COMPACT_FRAME
+    contexts = contexts or ContextDict()
+    bc = transcripts.sparkSession.sparkContext.broadcast(
+        (contexts.raw, contexts.document_iri, frame)
+    )
+    candidates = transcripts.select(
+        "conv_id", "turn_idx", "text", "tool"
+    ).where(_candidate_filter())
+
+    def framed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raw_contexts, document_iri, frame_obj = bc.value
+        expander = TurnExpander(raw_contexts, document_iri)
+        # frame context + expanded frame compile once per worker
+        frame_ctx = Context(base=document_iri)
+        ctx_value = frame_obj.get("@context")
+        if ctx_value is not None:
+            frame_ctx = process_context(
+                expander.processor, frame_ctx, ctx_value, document_iri
+            )
+        expanded_frame = expand_frame(
+            expander.processor, frame_ctx, frame_obj
+        )
+
+        def frame_doc(raw: str):
+            try:
+                doc = json.loads(raw)
+            except (json.JSONDecodeError, ValueError):
+                return []
+            try:
+                ctx_val = (
+                    doc.get("@context") if isinstance(doc, Mapping) else None
+                )
+                if ctx_val is not None:
+                    active = expander._active_context(ctx_val)
+                    body = {k: v for k, v in doc.items() if k != "@context"}
+                else:
+                    active = Context(base=document_iri)
+                    body = doc
+                expanded = expand_document(expander.processor, active, body)
+                framed = frame_expanded(expanded, expanded_frame)
+                compacted = compact_document(frame_ctx, framed)
+                if not isinstance(compacted, list):
+                    compacted = [compacted]
+                return [cleanup_null_markers(n) for n in compacted]
+            except JsonLdError:
+                return []
+
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
+            ):
+                for doc_idx, raw in enumerate(iter_turn_documents(text, tool)):
+                    for root in frame_doc(raw):
+                        n_null = sum(1 for v in root.values() if v is None)
+                        fp = hashlib.md5(
+                            json.dumps(
+                                root, sort_keys=True, separators=(",", ":")
+                            ).encode()
+                        ).hexdigest()
+                        rows.append(
+                            (conv_id, int(turn_idx), doc_idx,
+                             root.get("@id", ""), len(root), n_null, fp)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "doc_idx", "root_id",
+                    "n_keys", "n_null", "compact_fp",
+                ],
+            )
+
+    return candidates.mapInPandas(framed_batches, schema=FRAMED_COMPACT_SCHEMA)
+
+
 COMPACTED_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),

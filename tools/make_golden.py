@@ -249,6 +249,109 @@ def write_flatten_stats(transcripts: pd.DataFrame, out_dir: str) -> None:
 
 # ------------------------------------------------------------ compacted docs
 
+def write_framed_compact(transcripts: pd.DataFrame, out_dir: str) -> None:
+    """Kernel-only mirror of pipeline/extract.frame_compact_turn_entities
+    (no caches, no Spark): per candidate turn per document, expand →
+    frame (spec default @omitDefault=false) → compact against the frame's
+    own @context → "@null" → null cleanup (Framing §4.1 steps 18-21);
+    emit per-root key counts, the null-cleaned property count, and the
+    md5 fingerprint of the canonical compacted JSON."""
+    import hashlib
+
+    from json_ld_spark.kernel import (
+        cleanup_null_markers,
+        compact_document,
+        expand_document,
+        expand_frame,
+        frame_expanded,
+    )
+    from json_ld_spark.pipeline.extract import DEFAULT_COMPACT_FRAME
+
+    cd = ContextDict()
+    processor = cd.processor
+    document_iri = cd.document_iri
+    frame_ctx = Context(base=document_iri)
+    ctx_value = DEFAULT_COMPACT_FRAME.get("@context")
+    if ctx_value is not None:
+        frame_ctx = process_context(
+            processor, frame_ctx, ctx_value, document_iri
+        )
+    expanded_frame = expand_frame(processor, frame_ctx, DEFAULT_COMPACT_FRAME)
+
+    def frame_doc(raw: str):
+        try:
+            doc = json.loads(raw)
+        except (json.JSONDecodeError, ValueError):
+            return []
+        try:
+            ctx_val = doc.get("@context") if isinstance(doc, Mapping) else None
+            if ctx_val is not None:
+                active = process_context(
+                    processor, Context(base=document_iri), ctx_val,
+                    document_iri,
+                )
+                body = {k: v for k, v in doc.items() if k != "@context"}
+            else:
+                active = Context(base=document_iri)
+                body = doc
+            expanded = expand_document(processor, active, body)
+            framed = frame_expanded(expanded, expanded_frame)
+            compacted = compact_document(frame_ctx, framed)
+            if not isinstance(compacted, list):
+                compacted = [compacted]
+            return [cleanup_null_markers(n) for n in compacted]
+        except JsonLdError:
+            return []
+
+    rows = []
+    for conv_id, turn_idx, text, tool in zip(
+        transcripts["conv_id"], transcripts["turn_idx"],
+        transcripts["text"], transcripts["tool"],
+    ):
+        has_inline = isinstance(text, str) and "<jsonld>" in text
+        if not (isinstance(tool, str) or has_inline):
+            continue
+        raws = []
+        if isinstance(tool, str) and tool:
+            raws.append(tool)
+        if has_inline:
+            raws.extend(_INLINE_RE.findall(text))
+        for doc_idx, raw in enumerate(raws):
+            for root in frame_doc(raw):
+                n_null = sum(1 for v in root.values() if v is None)
+                fp = hashlib.md5(
+                    json.dumps(
+                        root, sort_keys=True, separators=(",", ":")
+                    ).encode()
+                ).hexdigest()
+                rows.append(
+                    (conv_id, int(turn_idx), doc_idx,
+                     root.get("@id", ""), len(root), n_null, fp)
+                )
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.string()),
+            pa.array([r[1] for r in rows], type=pa.int32()),
+            pa.array([r[2] for r in rows], type=pa.int32()),
+            pa.array([r[3] for r in rows], type=pa.string()),
+            pa.array([r[4] for r in rows], type=pa.int32()),
+            pa.array([r[5] for r in rows], type=pa.int32()),
+            pa.array([r[6] for r in rows], type=pa.string()),
+        ],
+        names=[
+            "conv_id", "turn_idx", "doc_idx", "root_id",
+            "n_keys", "n_null", "compact_fp",
+        ],
+    )
+    pq.write_table(table, os.path.join(out_dir, "framed_compact.parquet"))
+    n_null_rows = sum(1 for r in rows if r[5] > 0)
+    assert n_null_rows > 0, "frame must exercise the @null cleanup path"
+    print(
+        f"wrote framed_compact: {len(rows)} rows "
+        f"({n_null_rows} with null-cleaned properties)"
+    )
+
+
 def write_compacted_docs(transcripts: pd.DataFrame, out_dir: str) -> None:
     """Kernel-only mirror of pipeline/extract.compact_turn_docs (no caches,
     no Spark): per candidate turn per document, expand -> full-section-6.1
@@ -1531,6 +1634,7 @@ def main() -> int:
     rows = write_triples(transcripts, out_dir, "triples")
     write_flatten_stats(transcripts, out_dir)
     write_framed_entities(transcripts, out_dir)
+    write_framed_compact(transcripts, out_dir)
     write_compacted_docs(transcripts, out_dir)
     write_fromrdf_stats(out_dir)
     write_canonical_nquads(out_dir)
