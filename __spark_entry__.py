@@ -703,6 +703,24 @@ def _text_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _text_decontaminate(spark, sf_dir):
+    """Training-set decontamination (operators/textstats.decontaminate):
+    flag documents sharing any distinct word 8-gram with the eval set
+    (deterministic membership: doc_id % 20 == 0). Eval grams broadcast —
+    the corpus text never shuffles. Oracle: plain DuckDB SQL, same
+    tokenizer/shingle conventions as text_fingerprint."""
+    from json_ld_spark.operators.textstats import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") % 20 == 0)
+    return (
+        decontaminate(docs, eval_docs, n=8)
+        .withColumn("is_eval", F.col("doc_id") % 20 == 0)
+        .select("doc_id", "is_eval", "n_hits", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
 def _rel_agg_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -993,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_lang_id": _text_lang,
         "text_fingerprint": _text_fingerprint,
+        "text_decontaminate": _text_decontaminate,
         # relational coverage (agg / broadcast join / window / sessionize)
         "rel_agg_lineitem": _rel_agg_lineitem,
         "rel_join_topcustomers": _rel_join_topcustomers,
@@ -1498,6 +1517,26 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(range(1, len(toks) - 2), i -> md5(array_to_string(toks[i:i+3], ' '))) "
             "ELSE [] END, 'min') AS shingle_fp "
             "FROM toks0 ORDER BY doc_id"
+        ),
+        "text_decontaminate": (
+            # word 8-grams (toks[i:i+7] is 8 elements — DuckDB slices are
+            # end-INCLUSIVE), per-doc distinct, joined against the eval
+            # set's (doc_id % 20 = 0) distinct grams
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, unnest(list_distinct("
+            "CASE WHEN len(toks) >= 8 THEN "
+            "list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')) "
+            "ELSE [] END)) AS gram FROM toks), "
+            "eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0), "
+            "hits AS (SELECT g.doc_id, count(*) AS n_hits FROM grams g "
+            "JOIN eval_grams e USING (gram) GROUP BY 1) "
+            "SELECT d.doc_id, (d.doc_id % 20 = 0) AS is_eval, "
+            "coalesce(h.n_hits, 0) AS n_hits, "
+            "coalesce(h.n_hits, 0) >= 1 AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id) "
+            "ORDER BY d.doc_id"
         ),
         "rel_agg_lineitem": (
             "SELECT l_returnflag, l_linestatus, "

@@ -109,3 +109,60 @@ def fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:
         F.md5(F.trim(normalized_text())).alias("exact_fp"),
         F.array_min(grams).alias("shingle_fp"),
     ).orderBy("doc_id")
+
+
+def _word_ngrams(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams via shifted-array zip_with (each input evaluates once
+    per shifted copy — see the fingerprint() note on why the naive
+    transform(sequence(...)) form re-runs the tokenizer per gram)."""
+    L = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, L)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, k + 1, L),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 8, min_hits: int = 1
+) -> DataFrame:
+    """Training-set decontamination by word n-gram overlap (the GPT-3 /
+    Pile-style eval-leakage filter): flag every document sharing at least
+    ``min_hits`` distinct ``n``-grams with the evaluation set.
+
+    Returns (doc_id, n_hits, contaminated) for EVERY input doc (zero-fill
+    for clean ones) — the caller drops or downweights flagged docs.
+
+    100 TB shape: the eval side is a benchmark suite — bounded
+    (10^3-10^5 docs) regardless of corpus size — so its DISTINCT n-grams
+    broadcast; the corpus side is a map-only explode into a
+    broadcast-hash join plus one partially-aggregated groupBy(doc_id).
+    The corpus text itself is never shuffled, and per-doc gram dedup
+    (array_distinct) bounds both the join fan-out and the count
+    semantics (n_hits = distinct shared grams, not occurrences)."""
+    eval_grams = (
+        eval_docs.select(F.explode(_word_ngrams(tokens(), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(tokens(), n))).alias("gram"),
+    )
+    hit_counts = (
+        doc_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return (
+        docs.select("doc_id")
+        .join(hit_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hits.alias("n_hits"),
+            (n_hits >= min_hits).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -217,3 +217,44 @@ def test_cosine_topk_corpus_guard(spark, random_corpus):
         cosine_topk(random_corpus, k=3, max_corpus=100)
     # deliberate override still works
     assert cosine_topk(random_corpus, k=1, max_corpus=500).count() > 0
+
+
+def test_decontaminate_matches_bruteforce_and_broadcasts(spark):
+    """Training-set decontamination (round 5): n_hits = DISTINCT shared
+    n-grams vs a brute-force Python mirror; clean docs zero-fill; the
+    eval-gram side must broadcast (the corpus side never shuffles its
+    text)."""
+    import re as _re
+
+    from json_ld_spark.operators.textstats import decontaminate
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",      # eval member
+        2: "alpha beta gamma delta epsilon eta",        # shares 3-grams
+        3: "one two three four five six",               # clean
+        4: "ALPHA, beta; GAMMA delta epsilon zeta!!",   # normalizes to #1
+        5: "alpha beta gamma delta epsilon zeta extra", # superset of #1
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    eval_docs = docs.where(F.col("doc_id") == 1)
+    out = {
+        r.doc_id: r
+        for r in decontaminate(docs, eval_docs, n=3, min_hits=1).collect()
+    }
+
+    def grams(t, n=3):
+        toks = [w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    ev = grams(texts[1])
+    for i, t in texts.items():
+        want = len(grams(t) & ev)
+        assert out[i].n_hits == want, (i, out[i].n_hits, want)
+        assert out[i].contaminated == (want >= 1)
+    assert not out[3].contaminated          # clean doc zero-fills
+    assert out[4].n_hits == out[1].n_hits   # normalization-insensitive
+
+    plan = decontaminate(docs, eval_docs, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
