@@ -721,6 +721,32 @@ def _text_decontaminate(spark, sf_dir):
     )
 
 
+def _text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (operators/textstats.pii_scrub): match
+    counts + scrubbed-text md5 per doc. The corpus is synthetic and
+    PII-free, so a deterministic injection (doc_id % 7 == 0 gets an
+    email, an IPv4, and a phone appended — mirrored verbatim in the
+    DuckDB oracle) makes every pattern class observable. Map-only JVM
+    plan, zero shuffles."""
+    from json_ld_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    inject = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel +14155500"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, inject).otherwise(F.col("text")),
+    )
+    return pii_scrub(docs)
+
+
 def _rel_agg_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1012,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang,
         "text_fingerprint": _text_fingerprint,
         "text_decontaminate": _text_decontaminate,
+        "text_pii_scrub": _text_pii_scrub,
         # relational coverage (agg / broadcast join / window / sessionize)
         "rel_agg_lineitem": _rel_agg_lineitem,
         "rel_join_topcustomers": _rel_join_topcustomers,
@@ -1517,6 +1544,24 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(range(1, len(toks) - 2), i -> md5(array_to_string(toks[i:i+3], ' '))) "
             "ELSE [] END, 'min') AS shingle_fp "
             "FROM toks0 ORDER BY doc_id"
+        ),
+        "text_pii_scrub": (
+            # same deterministic PII injection as the Spark wrapper; regex
+            # patterns are the Java∩RE2 subset from textstats.PII_PATTERNS
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "text || ' contact user' || doc_id || '@example.com ip 10.0.0.' "
+            "|| (doc_id % 256) || ' tel +14155500' "
+            "|| lpad((doc_id % 100)::varchar, 2, '0') ELSE text END AS text "
+            "FROM documents) "
+            "SELECT doc_id, "
+            r"len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email, "
+            r"len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4, "
+            r"len(regexp_extract_all(text, '\+\d{9,15}\b')) AS n_phone, "
+            "md5(regexp_replace(regexp_replace(regexp_replace(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            r"'\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'), "
+            r"'\+\d{9,15}\b', '<PHONE>', 'g')) AS scrubbed_md5 "
+            "FROM d ORDER BY doc_id"
         ),
         "text_decontaminate": (
             # word 8-grams (toks[i:i+7] is 8 elements — DuckDB slices are

@@ -166,3 +166,34 @@ def decontaminate(
         )
         .orderBy("doc_id")
     )
+
+
+# PII patterns chosen for identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, non-capturing
+# groups, \b — no lookaround (RE2 has none), no backreferences
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{9,15}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction (the pre-training privacy pass): per doc,
+    match counts for each pattern class and the md5 of the text with all
+    matches replaced by typed placeholders (``<EMAIL>``/``<IP>``/
+    ``<PHONE>``), applied in declaration order.
+
+    Pure JVM regexp expressions (whole-stage codegen, zero Python): the
+    scrub itself is a projection — the only exchange in the plan is the
+    final presentation sort (driver-contract orderBy, pinned); the
+    DuckDB oracle replays the same patterns with RE2, which is why the
+    pattern table above restricts itself to the Java∩RE2 subset."""
+    txt = F.col("text")
+    cols = [F.col("doc_id")]
+    scrubbed = txt
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(txt, F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    cols.append(F.md5(scrubbed).alias("scrubbed_md5"))
+    return docs.select(*cols).orderBy("doc_id")

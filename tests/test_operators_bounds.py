@@ -258,3 +258,35 @@ def test_decontaminate_matches_bruteforce_and_broadcasts(spark):
 
     plan = decontaminate(docs, eval_docs, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_pii_scrub_counts_redaction_and_map_only_plan(spark):
+    """PII scrub (round 5): per-class counts, declaration-order redaction
+    to typed placeholders, and a shuffle-free map-only plan."""
+    import hashlib as _hashlib
+
+    from json_ld_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "write user3@example.com or a.b-c_d@sub.domain.org now"),
+            (2, "hosts 10.0.0.7 and 192.168.1.255; version 1.2 is not an ip"),
+            (3, "call +14155500099 but not +123 (too short)"),
+            (4, "no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (2, 0, 0)
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 2, 0)
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 1)
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    assert out[3].scrubbed_md5 == _hashlib.md5(
+        b"call <PHONE> but not +123 (too short)"
+    ).hexdigest()
+    assert out[4].scrubbed_md5 == _hashlib.md5(b"no pii at all").hexdigest()
+
+    # the scrub is a pure projection: the only exchange allowed is the
+    # range-partitioning presentation sort (driver-contract orderBy)
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
