@@ -721,6 +721,17 @@ def _text_decontaminate(spark, sf_dir):
     )
 
 
+def _text_repetition(spark, sf_dir):
+    """Gopher/MassiveText repetition quality signals
+    (operators/textstats.repetition_stats): duplicate word-2-gram
+    fraction + top-2-gram token coverage per document — the rules
+    repetition filters threshold on. One map-side-combining hash agg on
+    (doc_id, gram); deterministic top-gram tie-break mirrored in SQL."""
+    from json_ld_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def _text_pii_scrub(spark, sf_dir):
     """PII detection + redaction (operators/textstats.pii_scrub): match
     counts + scrubbed-text md5 per doc. The corpus is synthetic and
@@ -1039,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_decontaminate": _text_decontaminate,
         "text_pii_scrub": _text_pii_scrub,
+        "text_repetition": _text_repetition,
         # relational coverage (agg / broadcast join / window / sessionize)
         "rel_agg_lineitem": _rel_agg_lineitem,
         "rel_join_topcustomers": _rel_join_topcustomers,
@@ -1544,6 +1556,34 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(range(1, len(toks) - 2), i -> md5(array_to_string(toks[i:i+3], ' '))) "
             "ELSE [] END, 'min') AS shingle_fp "
             "FROM toks0 ORDER BY doc_id"
+        ),
+        "text_repetition": (
+            # word 2-grams; top-gram tie-break ORDER BY c DESC, gram DESC
+            # mirrors Spark's max(struct(c, gram)); short docs (<2 tokens)
+            # zero-fill counts and null the fractions
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, len(toks) AS n_tokens, unnest("
+            "CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) "
+            "ELSE [] END) AS gram FROM toks), "
+            "per AS (SELECT doc_id, n_tokens, gram, count(*) AS c "
+            "FROM grams GROUP BY 1, 2, 3), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY c DESC, gram DESC) AS rn, "
+            "sum(c) OVER (PARTITION BY doc_id) AS n_grams, "
+            "count(*) OVER (PARTITION BY doc_id) AS n_distinct FROM per) "
+            "SELECT t.doc_id, len(t.toks) AS n_tokens, "
+            "coalesce(r.n_distinct, 0) AS n_distinct, "
+            "coalesce(r.n_grams, 0) AS n_grams, "
+            "CASE WHEN r.doc_id IS NOT NULL THEN "
+            "round(1 - r.n_distinct / r.n_grams::double, 6) END AS dup_gram_frac, "
+            "r.gram AS top_gram, "
+            "CASE WHEN r.doc_id IS NOT NULL THEN "
+            "round(2 * r.c / r.n_tokens::double, 6) END AS top_gram_frac "
+            "FROM toks t LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r "
+            "USING (doc_id) ORDER BY t.doc_id"
         ),
         "text_pii_scrub": (
             # same deterministic PII injection as the Spark wrapper; regex

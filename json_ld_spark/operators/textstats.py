@@ -197,3 +197,59 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     cols.append(F.md5(scrubbed).alias("scrubbed_md5"))
     return docs.select(*cols).orderBy("doc_id")
+
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals per document:
+    duplicate word-``n``-gram fraction (1 − distinct/total) and the token
+    coverage of the single most frequent n-gram — the two repetition
+    rules those filters threshold on to drop degenerate generations and
+    boilerplate.
+
+    Plan: explode per-doc distinct-counted grams → ONE hash aggregation
+    on (doc_id, gram) with map-side combine (repetitive docs collapse
+    before the shuffle — the skew case is exactly the case that
+    combines), then a second tiny agg per doc. Deterministic tie-break
+    for the top gram: max(struct(count, gram)) — highest count, then
+    lexicographically-last gram, mirrored in the DuckDB oracle's
+    ORDER BY c DESC, gram DESC."""
+    toks = tokens()
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.explode_outer(_word_ngrams(toks, n)).alias("gram"),
+    )
+    per_gram = base.groupBy("doc_id", "n_tokens", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_gram.groupBy("doc_id", "n_tokens").agg(
+        F.count("gram").alias("n_distinct"),
+        F.sum(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(0))
+        .alias("n_grams"),
+        F.max(
+            F.when(
+                F.col("gram").isNotNull(), F.struct("c", "gram")
+            )
+        ).alias("top"),
+    )
+    has = F.col("n_grams") > 0
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.when(
+            has,
+            F.round(
+                1 - F.col("n_distinct") / F.col("n_grams").cast("double"), 6
+            ),
+        ).alias("dup_gram_frac"),
+        F.when(has, F.col("top.gram")).alias("top_gram"),
+        F.when(
+            has,
+            F.round(
+                F.lit(n) * F.col("top.c") / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("top_gram_frac"),
+    ).orderBy("doc_id")

@@ -290,3 +290,30 @@ def test_pii_scrub_counts_redaction_and_map_only_plan(spark):
     # range-partitioning presentation sort (driver-contract orderBy)
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher-rule repetition signals (round 5): dup-2-gram fraction, top
+    gram with deterministic tie-break (max count, then lexicographically
+    last), short-doc null semantics."""
+    from json_ld_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),   # 6 grams, 3 distinct, top 'a b' x3
+            (2, "x"),               # <2 tokens: zero-fill + nulls
+            (3, "w1 w2 w3 w4"),     # no repeats: tie-break = last gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_distinct, r1.n_grams) == (7, 3, 6)
+    assert r1.dup_gram_frac == 0.5
+    assert (r1.top_gram, r1.top_gram_frac) == ("a b", round(2 * 3 / 7, 6))
+    r2 = out[2]
+    assert (r2.n_distinct, r2.n_grams) == (0, 0)
+    assert r2.dup_gram_frac is None and r2.top_gram is None
+    r3 = out[3]
+    assert r3.dup_gram_frac == 0.0
+    assert r3.top_gram == "w3 w4"  # count-tie → lexicographically last
