@@ -206,49 +206,63 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     rules those filters threshold on to drop degenerate generations and
     boilerplate.
 
-    Plan: explode per-doc distinct-counted grams → ONE hash aggregation
-    on (doc_id, gram) with map-side combine (repetitive docs collapse
-    before the shuffle — the skew case is exactly the case that
-    combines), then a second tiny agg per doc. Deterministic tie-break
-    for the top gram: max(struct(count, gram)) — highest count, then
-    lexicographically-last gram, mirrored in the DuckDB oracle's
-    ORDER BY c DESC, gram DESC."""
+    Plan: ZERO-SHUFFLE map-only projection. The per-doc gram multiset is
+    bounded (one document's tokens), so instead of exploding every gram
+    into a corpus-wide hash aggregation (a full shuffle of ~tokens×n
+    bytes — the first implementation, measured 5.9 s at sf0.1), the gram
+    array sorts in-row and a single JVM ``aggregate`` fold walks the
+    runs: run length = consecutive-equal count, best = longest run with
+    the lexicographically-LAST gram winning ties (ascending sort + ``>=``
+    update gives exactly the max(struct(count, gram)) tie-break the
+    DuckDB oracle mirrors with ORDER BY c DESC, gram DESC). The only
+    exchange left is the presentation sort."""
     toks = tokens()
+    grams = F.array_sort(_word_ngrams(toks, n))
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = (run > acc["best_c"]) | (
+            (run == acc["best_c"]) & (g >= acc["best_g"])
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_c"]).alias("best_c"),
+            F.when(better, g).otherwise(acc["best_g"]).alias("best_g"),
+        )
+
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_c"),
+        F.lit(None).cast("string").alias("best_g"),
+    )
     base = docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.explode_outer(_word_ngrams(toks, n)).alias("gram"),
-    )
-    per_gram = base.groupBy("doc_id", "n_tokens", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    agg = per_gram.groupBy("doc_id", "n_tokens").agg(
-        F.count("gram").alias("n_distinct"),
-        F.sum(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(0))
-        .alias("n_grams"),
-        F.max(
-            F.when(
-                F.col("gram").isNotNull(), F.struct("c", "gram")
-            )
-        ).alias("top"),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        F.aggregate(grams, zero, step).alias("top"),
     )
     has = F.col("n_grams") > 0
-    return agg.select(
+    return base.select(
         "doc_id",
         "n_tokens",
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_distinct",
+        "n_grams",
         F.when(
             has,
             F.round(
                 1 - F.col("n_distinct") / F.col("n_grams").cast("double"), 6
             ),
         ).alias("dup_gram_frac"),
-        F.when(has, F.col("top.gram")).alias("top_gram"),
+        F.when(has, F.col("top.best_g")).alias("top_gram"),
         F.when(
             has,
             F.round(
-                F.lit(n) * F.col("top.c") / F.col("n_tokens").cast("double"),
+                F.lit(n)
+                * F.col("top.best_c")
+                / F.col("n_tokens").cast("double"),
                 6,
             ),
         ).alias("top_gram_frac"),
