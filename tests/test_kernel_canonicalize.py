@@ -312,3 +312,58 @@ def test_disjoint_symmetric_cycles_within_budget():
     # the independent canonicalizer must agree on both verdicts
     assert canonical_triples(two_cycles) == canonical_triples(relab)
     assert canonical_triples(two_cycles) != canonical_triples(four_cycle)
+
+
+# ------------------------------------- independent-oracle cross-validation
+
+
+def test_independent_canonicalizer_agrees_on_random_datasets():
+    """Property: tools/independent_canon (the from-spec golden-writer
+    implementation that never imports this kernel) must produce
+    byte-identical canonical lines and label maps wherever its
+    unique-first-degree-hash path applies — including direction- and
+    language-bearing literals and blank graph names — on random datasets
+    and their relabelings."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from independent_canon import (
+        independent_canonical_lines,
+        independent_label_map,
+    )
+
+    rng = random.Random(20260818)
+    checked = fallback = 0
+    for trial in range(60):
+        quads = _random_dataset(rng, n_bn=rng.randrange(1, 5), n_edges=8)
+        # sprinkle direction/lang/graph variety over the literal rows
+        for t in quads:
+            if t["obj_kind"] == "literal" and rng.random() < 0.5:
+                t["obj_lang"] = rng.choice(["en", "EN-us", None])
+                t["obj_direction"] = rng.choice(["ltr", "rtl", None])
+            if rng.random() < 0.3:
+                t["graph"] = rng.choice(["http://e/g", "_:b0", None])
+        ind = independent_canonical_lines(quads)
+        if ind is None:  # shared first-degree hashes: N-degree territory
+            fallback += 1
+            continue
+        assert ind == canonicalize_quads(quads)
+        assert independent_label_map(quads) == canonical_label_map(quads)
+        # agreement must survive a blank-node bijection + row shuffle
+        labels = bnode_labels(quads)
+        perm = labels[:]
+        rng.shuffle(perm)
+        relab = relabeled(quads, dict(zip(labels, perm)))
+        rng.shuffle(relab)
+        ind2 = independent_canonical_lines(relab)
+        if ind2 is not None:
+            assert ind2 == ind
+        checked += 1
+    assert checked >= 40, (checked, fallback)  # the path must dominate
