@@ -981,6 +981,19 @@ def _train_clusters(spark, sf_dir):
     return neardup_clusters(_t(spark, sf_dir, "documents"))
 
 
+def _train_curate(spark, sf_dir):
+    """End-to-end curation verdict (operators/training.curate): one
+    keep/drop per document with a deterministic first-match reject
+    reason — contaminated (eval 8-gram overlap, doc_id % 20 == 0 eval
+    set) → too_short (<16 tokens) → non_english (stopword vote) →
+    too_repetitive (dup-2-gram fraction > 0.10). The composition a
+    training pipeline runs before sampling; no signal shuffles text."""
+    from json_ld_spark.operators.training import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate(docs, docs.where(F.col("doc_id") % 20 == 0))
+
+
 def _mm_features(spark, sf_dir):
     """Multimodal feature extraction over the deterministic media table
     (decode stubbed with the fake kernel; Spark plumbing real). Oracle:
@@ -1065,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_sample_stratified": _train_sample,
         "train_pack_chunks": _train_pack,
         "train_neardup_clusters": _train_clusters,
+        "train_curate": _train_curate,
         # multimodal plumbing (decode stubbed; plan/schema real)
         "mm_features": _mm_features,
         "mm_decode_stats": _mm_decode_stats,
@@ -1556,6 +1570,45 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(range(1, len(toks) - 2), i -> md5(array_to_string(toks[i:i+3], ' '))) "
             "ELSE [] END, 'min') AS shingle_fp "
             "FROM toks0 ORDER BY doc_id"
+        ),
+        "train_curate": (
+            # composes the text_token_count / text_lang_id /
+            # text_repetition / text_decontaminate oracle CTEs with the
+            # same first-match reject precedence as operators/training.curate
+            "WITH toks AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "hits AS (SELECT doc_id, len(toks) AS n_tokens, "
+            "len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','with'], x))) AS en, "
+            "len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], x))) AS de, "
+            "len(list_filter(toks, x -> list_contains(['el','la','los','las','es','una','con','por'], x))) AS es, "
+            "len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','une','dans'], x))) AS fr "
+            "FROM toks), "
+            "lang AS (SELECT doc_id, n_tokens, CASE "
+            "WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'und' "
+            "WHEN de >= en AND de >= es AND de >= fr THEN 'de' "
+            "WHEN en >= es AND en >= fr THEN 'en' "
+            "WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_guess FROM hits), "
+            "g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) "
+            "ELSE [] END) AS gram FROM toks), "
+            "rep AS (SELECT doc_id, "
+            "round(1 - count(DISTINCT gram) / count(*)::double, 6) AS dup_gram_frac "
+            "FROM g2 GROUP BY 1), "
+            "g8 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8 THEN "
+            "list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')) "
+            "ELSE [] END)) AS gram FROM toks), "
+            "ev AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 20 = 0), "
+            "dec AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN ev USING (gram)), "
+            "v AS (SELECT l.doc_id, CASE "
+            "WHEN d.doc_id IS NOT NULL THEN 'contaminated' "
+            "WHEN l.n_tokens < 16 THEN 'too_short' "
+            "WHEN l.lang_guess <> 'en' THEN 'non_english' "
+            "WHEN r.dup_gram_frac > 0.10 THEN 'too_repetitive' END AS reject_reason "
+            "FROM lang l LEFT JOIN rep r USING (doc_id) "
+            "LEFT JOIN dec d USING (doc_id)) "
+            "SELECT doc_id, reject_reason IS NULL AS keep, reject_reason "
+            "FROM v ORDER BY doc_id"
         ),
         "text_repetition": (
             # word 2-grams; top-gram tie-break ORDER BY c DESC, gram DESC

@@ -189,3 +189,54 @@ def neardup_clusters(
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+def curate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    min_tokens: int = 16,
+    max_dup_frac: float = 0.10,
+    langs: tuple = ("en",),
+    ngram: int = 8,
+) -> DataFrame:
+    """End-to-end curation verdict — the composition a training pipeline
+    actually runs before sampling: per document one keep/drop decision
+    with a deterministic first-match reject reason:
+
+    1. ``contaminated`` — shares an ``ngram``-gram with the eval set
+       (decontaminate: eval grams broadcast, corpus never shuffles text);
+    2. ``too_short`` — fewer than ``min_tokens`` tokens;
+    3. ``non_english`` — stopword-vote language not in ``langs``;
+    4. ``too_repetitive`` — duplicate n-gram fraction above
+       ``max_dup_frac`` (zero-shuffle fold);
+    else ``keep``.
+
+    Plan shape: every signal is a map-only projection or one bounded
+    aggregation keyed on doc_id, and the final assembly is equi-joins on
+    doc_id — co-partitioned after the first shuffle, AQE coalesced. No
+    signal ever shuffles document text."""
+    from .textstats import (
+        decontaminate,
+        lang_id,
+        repetition_stats,
+        token_count,
+    )
+
+    tc = token_count(docs).select("doc_id", "n_tokens")
+    li = lang_id(docs)
+    rep = repetition_stats(docs).select("doc_id", "dup_gram_frac")
+    dec = decontaminate(docs, eval_docs, n=ngram).select(
+        "doc_id", "contaminated"
+    )
+    j = tc.join(li, "doc_id").join(rep, "doc_id").join(dec, "doc_id")
+    reason = (
+        F.when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(~F.col("lang_guess").isin(*langs), F.lit("non_english"))
+        .when(F.col("dup_gram_frac") > max_dup_frac, F.lit("too_repetitive"))
+    )
+    return j.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    ).orderBy("doc_id")

@@ -130,3 +130,43 @@ def test_simhash_pairs_exact_vs_bruteforce(spark, sf_dir):
     )
     assert truth, "fixture should contain near-dup fingerprints"
     assert got == truth
+
+
+def test_curate_reject_precedence_and_coverage(spark):
+    """Curation verdict (round 5): deterministic first-match precedence
+    (contaminated beats every other reason), every doc gets exactly one
+    verdict, and threshold edges behave."""
+    from pyspark.sql import functions as F
+
+    from json_ld_spark.operators.training import curate
+
+    rows = [
+        # 20 tokens, english, unique grams, shares grams with eval -> contaminated
+        (1, "the quick brown fox jumps over the lazy dog and then runs far away from home very fast indeed"),
+        # eval member (same text)
+        (2, "the quick brown fox jumps over the lazy dog and then runs far away from home very fast indeed"),
+        # short AND non-english-looking: too_short wins (precedence)
+        (3, "uno dos tres"),
+        # english, long enough, hugely repetitive -> too_repetitive
+        (4, " ".join(["the cat sat"] * 12)),
+        # english, long enough, varied -> keep
+        (5, "the archive holds records of seventeen expeditions that crossed "
+            "this range with supplies enough for winters in deep snow"),
+        # german stopwords -> non_english
+        (6, "der hund und die katze das ist nicht ein mit haus garten baum "
+            "fluss berg tal wiese wald stein"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in curate(
+            docs, docs.where(F.col("doc_id") == 2), min_tokens=10
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[1].reject_reason == "contaminated"
+    assert out[2].reject_reason == "contaminated"  # eval doc matches itself
+    assert out[3].reject_reason == "too_short"     # beats non_english
+    assert out[4].reject_reason == "too_repetitive"
+    assert out[5].keep and out[5].reject_reason is None
+    assert out[6].reject_reason == "non_english"
