@@ -185,6 +185,28 @@ def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the canonical KG
+    (operators/graph.khop_reachability): every node within 3 directed
+    hops of the 8 lexicographically-smallest source nodes, with minimum
+    hop distance. Level-synchronous frontier joins with anti-join
+    min-distance semantics — each node enters a frontier at most once, so
+    total cost is O(E) across all rounds regardless of cycles. Oracle: a
+    DuckDB RECURSIVE CTE over the golden edges — an independent engine's
+    native reachability, not a mirror of this plan."""
+    from json_ld_spark.operators.graph import khop_reachability
+    from json_ld_spark.pipeline.entity import canonicalize
+
+    _, _, edges = canonicalize(_clean_triples(spark, sf_dir), materialize=True)
+    e = edges.select(
+        F.col("src_canon").alias("src"), F.col("dst_canon").alias("dst")
+    )
+    seeds = (
+        e.select(F.col("src").alias("node")).distinct().orderBy("node").limit(8)
+    )
+    return khop_reachability(e, seeds, k=3).orderBy("node")
+
+
 def _kg_framed_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-LD Framing (§9, kernel/frame.py) per JSON-bearing turn: frame
     every document against the entity-root frame (match schema:name,
@@ -841,6 +863,50 @@ def _rel_sessionize(spark, sf_dir):
     )
 
 
+def _rel_asof_events(spark, sf_dir):
+    """As-of (point-in-time) join — the classic operator Spark lacks
+    natively (operators/asof.py): each purchase event attributed to the
+    most recent click by the same user at or before the purchase
+    timestamp (backward-inclusive). Implemented as union + running
+    ``last(ignorenulls)`` over ONE exchange — no inequality-join row
+    explosion. Right side deduped per (user_id, ts) keeping the greatest
+    click_id, so the match is unique and engine-independent. Oracle:
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent engine's own
+    implementation of the semantics, not a mirror of this plan."""
+    from json_ld_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        tie_break="click_id",
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "purchase_value",
+        "click_id",
+        F.when(
+            F.col("click_id").isNotNull(),
+            F.unix_timestamp("ts") - F.unix_timestamp("click_ts"),
+        ).alias("gap_sec"),
+    ).orderBy("purchase_id")
+
+
 def _rel_nation_revenue(spark, sf_dir):
     """3-way join with two broadcastable dims + grouped agg."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1039,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _kg_edges,
         "kg_pagerank": _kg_pagerank,
         "kg_degree_stats": _kg_degree_stats,
+        "kg_khop": _kg_khop,
         "kg_mentions": _kg_mentions,
         "kg_hub_entities": _kg_hub_entities,
         "kg_turn_text_hash": _kg_turn_text_hash,
@@ -1069,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join_topcustomers": _rel_join_topcustomers,
         "rel_window_events": _rel_window_events,
         "rel_sessionize": _rel_sessionize,
+        "rel_asof_events": _rel_asof_events,
         "rel_nation_revenue": _rel_nation_revenue,
         "rel_rollup_orders": _rel_rollup_orders,
         "rel_anti_customers": _rel_anti_customers,
@@ -1250,6 +1318,23 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(out_degree, 0)::BIGINT AS out_degree, "
             "coalesce(in_degree, 0)::BIGINT AS in_degree "
             "FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node"
+        ),
+        "kg_khop": (
+            # independent-engine reachability: DuckDB's RECURSIVE CTE over
+            # the golden edges (UNION = distinct recursion, so cyclic
+            # graphs terminate); min(dist) mirrors BFS first-discovery.
+            "WITH RECURSIVE seeds AS ("
+            "SELECT DISTINCT src_canon AS node "
+            f"FROM read_parquet('{_GOLDEN}/edges.parquet') "
+            "ORDER BY node LIMIT 8), "
+            "reach(node, dist) AS ("
+            "SELECT node, 0 FROM seeds "
+            "UNION "
+            "SELECT e.dst_canon, r.dist + 1 FROM reach r "
+            f"JOIN read_parquet('{_GOLDEN}/edges.parquet') e "
+            "ON e.src_canon = r.node WHERE r.dist < 3) "
+            "SELECT node, min(dist)::INT AS dist FROM reach "
+            "GROUP BY node ORDER BY node"
         ),
         "kg_from_rdf": (
             "SELECT conv_id, turn_idx, n_nodes, n_graphs, n_lists, "
@@ -1705,6 +1790,26 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "sum(round(value * 10000)::BIGINT)::BIGINT / 10000.0 AS total_value "
             "FROM lagged GROUP BY user_id ORDER BY user_id"
+        ),
+        "rel_asof_events": (
+            # DuckDB's native ASOF JOIN is the oracle: an independent
+            # engine's own point-in-time semantics (greatest right ts <=
+            # left ts per key, inclusive), against our union+window plan.
+            "WITH p AS (SELECT user_id, ts, event_id AS purchase_id, "
+            "round(value, 6) AS purchase_value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id "
+            "FROM events WHERE event_type = 'click' GROUP BY user_id, ts) "
+            "SELECT p.user_id, purchase_id, purchase_value, c.click_id, "
+            # floor each side to whole seconds BEFORE subtracting — Spark's
+            # unix_timestamp() floors per timestamp; a fractional subtract-
+            # then-truncate is off by one when the microsecond parts wrap
+            "CASE WHEN c.click_id IS NOT NULL THEN "
+            "floor(epoch(p.ts))::BIGINT - floor(epoch(c.click_ts))::BIGINT "
+            "END AS gap_sec "
+            "FROM p ASOF LEFT JOIN c "
+            "ON p.user_id = c.user_id AND p.ts >= c.click_ts "
+            "ORDER BY purchase_id"
         ),
         "rel_nation_revenue": (
             "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "

@@ -86,3 +86,59 @@ def pagerank_fixed_point(
             .localCheckpoint()
         )
     return ranks
+
+
+def khop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded multi-source BFS: every node reachable from ``seeds`` in
+    at most ``k`` directed hops, with ``dist`` = MINIMUM hop count
+    (seeds themselves at dist 0). ``seeds`` must carry one column named
+    ``node``.
+
+    Level-synchronous frontier expansion — the distributed-BFS shape every
+    Pregel-style system uses, as plain DataFrame ops:
+
+        frontier(i+1) = distinct(frontier(i) |> join edges on src) \\ visited
+
+    The left-anti subtraction against ``visited`` is what makes first
+    discovery == minimum distance (level i only ever adds nodes unseen at
+    levels < i) AND bounds the work on cyclic graphs: each node enters a
+    frontier at most once, so total cost over all rounds is one edge-scan
+    per frontier membership — O(E) across the whole run, not O(E*k).
+
+    Scale: per round, one equi-join (frontier x edges, AQE free to
+    broadcast a small frontier and shuffle a wavefront-sized one), one
+    distinct, one anti-join against visited; ``localCheckpoint`` cuts the
+    per-round lineage exactly like the CC and PageRank loops. The early
+    exit when a frontier empties costs one count action on an
+    already-materialized checkpoint. Driver state is the loop counter —
+    never row data.
+
+    Deterministic: set semantics throughout (distinct frontiers, anti-join
+    visited), so partitioning cannot change the result — the DuckDB
+    recursive-CTE oracle is bit-exact.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = seeds.select("node").distinct().withColumn(
+        "dist", F.lit(0).cast("int")
+    ).localCheckpoint()
+    frontier = visited.select("node")
+    for level in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(level).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

@@ -46,3 +46,51 @@ def test_pagerank_deterministic_across_partitionings(spark):
         for r in pagerank_fixed_point(base.repartition(8, "dst")).collect()
     }
     assert r1 == r8  # integer arithmetic: partitioning-independent
+
+
+# ---------------------------------------------------------------- k-hop BFS
+
+
+def _khop(spark, edges, seed_nodes, k):
+    from json_ld_spark.operators.graph import khop_reachability
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([(n,) for n in seed_nodes], "node string")
+    return {
+        r["node"]: r["dist"]
+        for r in khop_reachability(e, seeds, k).collect()
+    }
+
+
+def test_khop_min_distance_on_diamond(spark):
+    # a→b→d and a→c→d plus a long way d→e→f: min dist wins at d
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),
+    ]
+    assert _khop(spark, edges, ["a"], 3) == {
+        "a": 0, "b": 1, "c": 1, "d": 2, "e": 3,
+    }  # f at dist 4 is beyond k=3; direction matters (nothing enters a)
+
+
+def test_khop_cycle_terminates_and_multi_seed(spark):
+    # 3-cycle with two seeds: each node takes the smaller seed distance
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    assert _khop(spark, edges, ["a", "c"], 5) == {"a": 0, "c": 0, "b": 1}
+
+
+def test_khop_early_exit_and_unreachable(spark):
+    # frontier empties at level 2; the disconnected x→y never appears
+    edges = [("a", "b"), ("x", "y")]
+    assert _khop(spark, edges, ["a"], 10) == {"a": 0, "b": 1}
+
+
+def test_khop_partitioning_independent(spark):
+    from json_ld_spark.operators.graph import khop_reachability
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 20}") for i in range(20)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("n0",), ("n7",)], "node string")
+    r1 = sorted(map(tuple, khop_reachability(e.repartition(1), seeds, 4).collect()))
+    r8 = sorted(map(tuple, khop_reachability(e.repartition(8, "dst"), seeds, 4).collect()))
+    assert r1 == r8
