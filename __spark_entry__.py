@@ -907,6 +907,74 @@ def _rel_asof_events(spark, sf_dir):
     ).orderBy("purchase_id")
 
 
+def _rel_range_join(spark, sf_dir):
+    """Bounded range join (operators/timeseries.bucketed_range_join):
+    every (purchase, click) pair by the same user with the click in the
+    4 hours up to and including the purchase — the funnel/attribution
+    join a raw range predicate would execute as a per-key quadratic
+    residual. Bucketing decomposition: left rows explode into ≤2
+    window-width time buckets, equi-join on (user_id, bucket), exact
+    residual after. Oracle: DuckDB's native inequality join — the
+    independent engine evaluates the RAW range predicate, so the bucket
+    decomposition is verified against unbucketed semantics."""
+    from json_ld_spark.operators.timeseries import bucketed_range_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = bucketed_range_join(
+        purchases, clicks, ["user_id"], "ts", "click_ts", -14400, 0
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("click_ts")).alias(
+            "lag_sec"
+        ),
+    ).orderBy("purchase_id", "click_id")
+
+
+def _rel_time_gapfill(spark, sf_dir):
+    """Hypertable-style gap-filled downsample
+    (operators/timeseries.time_bucket_gapfill): per-user DAILY activity
+    rollup with empty days materialized as zero rows over each user's
+    own [first, last] activity span (TimescaleDB time_bucket_gapfill
+    semantics). Fill rows come from JVM-side sequence()+explode — no
+    Python, no driver loop; value summed at exact 1e-4 grain for
+    order-independence (same convention as rel_sessionize). Oracle:
+    DuckDB generate_series + left join."""
+    from json_ld_spark.operators.timeseries import time_bucket_gapfill
+
+    events = _t(spark, sf_dir, "events")
+    out = time_bucket_gapfill(
+        events,
+        ["user_id"],
+        "ts",
+        86400,
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                "value_e4"
+            ),
+        ],
+        fills=[F.lit(0).cast("long"), F.lit(0).cast("long")],
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_start").alias("bucket_epoch"),
+        "gap_filled",
+        "n_events",
+        "value_e4",
+    ).orderBy("user_id", "bucket_epoch")
+
+
 def _rel_nation_revenue(spark, sf_dir):
     """3-way join with two broadcastable dims + grouped agg."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1137,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_events": _rel_window_events,
         "rel_sessionize": _rel_sessionize,
         "rel_asof_events": _rel_asof_events,
+        "rel_range_join": _rel_range_join,
+        "rel_time_gapfill": _rel_time_gapfill,
         "rel_nation_revenue": _rel_nation_revenue,
         "rel_rollup_orders": _rel_rollup_orders,
         "rel_anti_customers": _rel_anti_customers,
@@ -1810,6 +1880,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM p ASOF LEFT JOIN c "
             "ON p.user_id = c.user_id AND p.ts >= c.click_ts "
             "ORDER BY purchase_id"
+        ),
+        "rel_range_join": (
+            # the oracle evaluates the RAW range predicate (no buckets):
+            # DuckDB's IEJoin — verifying the bucket decomposition against
+            # unbucketed semantics. Epochs floored per side like Spark's
+            # unix_timestamp.
+            "WITH p AS (SELECT user_id, ts, event_id AS purchase_id "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts AS click_ts, event_id AS click_id "
+            "FROM events WHERE event_type = 'click') "
+            "SELECT p.user_id, purchase_id, click_id, "
+            "floor(epoch(p.ts))::BIGINT - floor(epoch(c.click_ts))::BIGINT "
+            "AS lag_sec "
+            "FROM p JOIN c ON p.user_id = c.user_id "
+            "AND floor(epoch(c.click_ts)) >= floor(epoch(p.ts)) - 14400 "
+            "AND floor(epoch(c.click_ts)) <= floor(epoch(p.ts)) "
+            "ORDER BY purchase_id, click_id"
+        ),
+        "rel_time_gapfill": (
+            "WITH sparse AS (SELECT user_id, "
+            "floor(floor(epoch(ts)) / 86400)::BIGINT AS b, "
+            "count(*) AS n_events, "
+            "sum(round(value * 10000)::BIGINT)::BIGINT AS value_e4 "
+            "FROM events GROUP BY 1, 2), "
+            "spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi "
+            "FROM sparse GROUP BY 1), "
+            "dense AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b "
+            "FROM spans) "
+            "SELECT d.user_id, (d.b * 86400)::BIGINT AS bucket_epoch, "
+            "(s.user_id IS NULL) AS gap_filled, "
+            "coalesce(n_events, 0)::BIGINT AS n_events, "
+            "coalesce(value_e4, 0)::BIGINT AS value_e4 "
+            "FROM dense d LEFT JOIN sparse s "
+            "ON d.user_id = s.user_id AND d.b = s.b "
+            "ORDER BY d.user_id, bucket_epoch"
         ),
         "rel_nation_revenue": (
             "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
