@@ -612,6 +612,21 @@ def _dedup_ngram(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _dedup_substring(spark, sf_dir):
+    """Exact-substring duplication stats (Lee et al. ACL 2022 suffix-array
+    criterion re-expressed distributed — operators/dedup.py
+    substring_dup_stats): per doc, duplicated 8-token positions, longest
+    exactly-duplicated span in tokens, duplicated fraction. Oracle: plain
+    DuckDB SQL — positional shingles + corpus-count window +
+    gaps-and-islands run grouping, same tokenizer conventions as the
+    jaccard oracle."""
+    from json_ld_spark.operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def _dedup_embedding(spark, sf_dir):
     from json_ld_spark.operators.dedup import embedding_neardup_pairs
 
@@ -1184,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram,
+        "dedup_substring": _dedup_substring,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         # similarity search
@@ -1644,6 +1660,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
             "JOIN sizes sb ON doc_b = sb.doc_id "
             "WHERE i / (sa.sz + sb.sz - i) >= 0.5 ORDER BY doc_a, doc_b"
+        ),
+        "dedup_substring": (
+            # positional shingles (duplicates KEPT — corpus multiplicity is
+            # the criterion), corpus-count window, gaps-and-islands runs
+            "WITH toks0 AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')[1:200] AS toks "
+            "FROM documents), "
+            "sizes AS (SELECT doc_id, greatest(len(toks) - 7, 0) AS n_shingles "
+            "FROM toks0), "
+            "sh AS (SELECT doc_id, i AS pos, "
+            "array_to_string(toks[i:i+7], ' ') AS shingle FROM toks0, "
+            "unnest(CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 6) "
+            "ELSE [] END) AS t(i)), "
+            "dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+            "count(*) OVER (PARTITION BY shingle) AS c FROM sh) WHERE c >= 2), "
+            "runs AS (SELECT doc_id, grp, count(*) AS run FROM ("
+            "SELECT doc_id, pos - row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY pos) AS grp FROM dup) GROUP BY 1, 2), "
+            "per_doc AS (SELECT doc_id, sum(run) AS n_dup, max(run) + 7 AS mx "
+            "FROM runs GROUP BY 1) "
+            "SELECT s.doc_id, n_shingles::BIGINT AS n_shingles, "
+            "coalesce(n_dup, 0)::BIGINT AS n_dup_positions, "
+            "coalesce(mx, 0)::BIGINT AS max_dup_span, "
+            "CASE WHEN n_shingles > 0 THEN "
+            "round(coalesce(n_dup, 0) / n_shingles, 6) ELSE 0.0 END AS dup_frac "
+            "FROM sizes s LEFT JOIN per_doc USING (doc_id) ORDER BY s.doc_id"
         ),
         "dedup_embedding": (
             # mirrors the operator's max_block=4096 degenerate-label cap so

@@ -516,3 +516,86 @@ def simhash_pairs(
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def substring_dup_stats(
+    docs: DataFrame, n: int = 8, max_tokens: int = 200
+) -> DataFrame:
+    """Exact-substring duplication stats — the suffix-array criterion of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), re-expressed for Spark: a token position is
+    DUPLICATED when the ``n``-token shingle starting there occurs at
+    least twice in the whole corpus (any document, including its own —
+    the paper's "appears more than once" rule). Per document this emits
+
+    - ``n_shingles``      — shingle positions considered (≤ max_tokens−n+1),
+    - ``n_dup_positions`` — how many of them are duplicated,
+    - ``max_dup_span``    — longest run of consecutive duplicated
+      positions + (n−1): the length in TOKENS of the longest exactly-
+      duplicated substring, the quantity the paper's suffix array yields,
+    - ``dup_frac``        — n_dup_positions / n_shingles (rounded 1e-6).
+
+    Shape: positional shingles (posexplode of the zip_with shingle
+    array, duplicates KEPT — corpus multiplicity is the criterion),
+    corpus counts via a count window over the shingle key (ONE exchange,
+    the ngram_jaccard_pairs pattern), then gaps-and-islands per doc
+    (``pos − row_number()`` run grouping) for the longest span. All JVM.
+
+    Scale: the shingle-window exchange is the cost center; a boilerplate
+    shingle with 10^6 occurrences lands its whole group on one task —
+    bounded by max shingle multiplicity, not corpus size. At that skew
+    swap the window for operators/skew.salted_count + an equi-join back
+    (two exchanges, both salted); kept single-exchange here because dup
+    multiplicities in real corpora are Zipf-bounded far below task size.
+    Shingles shuffle as strings for engine-independent exactness; at
+    10^12 tokens swap in a 128-bit hash column (xxhash64 pair) — noted
+    rather than done so the DuckDB oracle stays collision-free by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    toks = F.slice(tokens(), 1, max_tokens)
+    L = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, L)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, k + 1, L),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    pos = docs.select(
+        "doc_id", F.posexplode(acc).alias("pos0", "shingle")
+    )
+    dup = (
+        pos.withColumn(
+            "__cnt", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .where(F.col("__cnt") >= 2)
+        .select("doc_id", "pos0")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos0")
+    runs = (
+        dup.withColumn("__grp", F.col("pos0") - F.row_number().over(w_doc))
+        .groupBy("doc_id", "__grp")
+        .agg(F.count("*").alias("run"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.sum("run").alias("n_dup_positions"),
+        (F.max("run") + F.lit(n - 1)).alias("max_dup_span"),
+    )
+    sizes = docs.select("doc_id", L.alias("n_shingles"))
+    return sizes.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce("n_dup_positions", F.lit(0))
+        .cast("long")
+        .alias("n_dup_positions"),
+        F.coalesce("max_dup_span", F.lit(0)).cast("long").alias("max_dup_span"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.round(
+                F.coalesce("n_dup_positions", F.lit(0))
+                / F.col("n_shingles"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )

@@ -317,3 +317,52 @@ def test_repetition_stats_semantics(spark):
     r3 = out[3]
     assert r3.dup_gram_frac == 0.0
     assert r3.top_gram == "w3 w4"  # count-tie → lexicographically last
+
+
+# -------------------------------------------------- exact-substring dedup
+
+
+def test_substring_dup_stats_semantics(spark):
+    from json_ld_spark.operators.dedup import substring_dup_stats
+
+    # 12-token docs; d1 and d2 share tokens 1..10 (an exactly-duplicated
+    # 10-token span); d3 is unique; d4 repeats ITS OWN 8-gram twice.
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x {shared} y"),
+            (2, f"p {shared} q"),
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "r s t u v w m n r s t u v w m n"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_shingles"], r["n_dup_positions"], r["max_dup_span"],
+        )
+        for r in substring_dup_stats(docs, n=8).collect()
+    }
+    # d1: 12 tokens -> 5 shingle positions; positions 2..3 (1-based) are
+    # the 8-grams fully inside the shared 10-token span -> run of 3
+    # (start offsets 1,2,3 of `shared` inside the doc) -> span 3+7=10
+    assert out[1] == (5, 3, 10)
+    assert out[2] == (5, 3, 10)
+    assert out[3] == (3, 0, 0)
+    # d4: 16 tokens, 9 positions; 8-gram at pos 1 == 8-gram at pos 9
+    # (both "r s t u v w m n"): 2 duplicated positions, non-adjacent ->
+    # two runs of 1 -> span 1+7=8
+    assert out[4] == (9, 2, 8)
+
+
+def test_substring_dup_stats_short_docs_zero(spark):
+    from json_ld_spark.operators.dedup import substring_dup_stats
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "seven tokens is not quite eight here"[:38])],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in substring_dup_stats(docs, n=8).collect()}
+    assert rows[1]["n_shingles"] == 0
+    assert rows[1]["dup_frac"] == 0.0
+    assert rows[1]["max_dup_span"] == 0
