@@ -185,6 +185,24 @@ def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node exact triangle counts over the undirected canonical graph
+    (operators/graph.triangle_counts — degree-ordered orientation, the
+    Suri/Vassilvitskii last-reducer dodge). Oracle: DuckDB enumerates
+    triangles NAIVELY (lexicographic a<b three-way self-join) over the
+    golden edges — an independent formulation, so the orientation
+    machinery is verified against first-principles enumeration."""
+    from json_ld_spark.operators.graph import triangle_counts
+    from json_ld_spark.pipeline.entity import canonicalize
+
+    _, _, edges = canonicalize(_clean_triples(spark, sf_dir), materialize=True)
+    return triangle_counts(
+        edges.select(
+            F.col("src_canon").alias("src"), F.col("dst_canon").alias("dst")
+        )
+    ).orderBy("node")
+
+
 def _kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded multi-source BFS over the canonical KG
     (operators/graph.khop_reachability): every node within 3 directed
@@ -1189,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_degree_stats": _kg_degree_stats,
         "kg_khop": _kg_khop,
+        "kg_triangles": _kg_triangles,
         "kg_mentions": _kg_mentions,
         "kg_hub_entities": _kg_hub_entities,
         "kg_turn_text_hash": _kg_turn_text_hash,
@@ -1404,6 +1423,23 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(out_degree, 0)::BIGINT AS out_degree, "
             "coalesce(in_degree, 0)::BIGINT AS in_degree "
             "FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node"
+        ),
+        "kg_triangles": (
+            # first-principles enumeration (lexicographic a<b orientation,
+            # three-way self-join) — independent of the operator's
+            # degree-ordered machinery
+            "WITH und AS (SELECT DISTINCT "
+            "least(src_canon, dst_canon) AS a, "
+            "greatest(src_canon, dst_canon) AS b "
+            f"FROM read_parquet('{_GOLDEN}/edges.parquet') "
+            "WHERE src_canon <> dst_canon), "
+            "tri AS (SELECT u1.a AS x, u1.b AS y, u2.b AS z FROM und u1 "
+            "JOIN und u2 ON u2.a = u1.b "
+            "JOIN und u3 ON u3.a = u1.a AND u3.b = u2.b), "
+            "nodes AS (SELECT x AS node FROM tri UNION ALL "
+            "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+            "SELECT node, count(*)::BIGINT AS n_triangles FROM nodes "
+            "GROUP BY node ORDER BY node"
         ),
         "kg_khop": (
             # independent-engine reachability: DuckDB's RECURSIVE CTE over

@@ -94,3 +94,39 @@ def test_khop_partitioning_independent(spark):
     r1 = sorted(map(tuple, khop_reachability(e.repartition(1), seeds, 4).collect()))
     r8 = sorted(map(tuple, khop_reachability(e.repartition(8, "dst"), seeds, 4).collect()))
     assert r1 == r8
+
+
+# ------------------------------------------------------------- triangles
+
+
+def _tri(spark, edges):
+    from json_ld_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+
+
+def test_triangle_counts_basic(spark):
+    # K4 minus one edge (a-d): triangles abc and bcd; b,c in both
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("b", "d"), ("c", "d"),
+        ("e", "f"),  # no triangle
+    ]
+    assert _tri(spark, edges) == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_triangle_counts_direction_loops_parallels_collapse(spark):
+    # reversed duplicates, a self-loop and a parallel edge must not
+    # change the undirected simple graph's single triangle
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+        ("c", "a"), ("a", "a"), ("a", "b"),
+    ]
+    assert _tri(spark, edges) == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_hub_star_has_none(spark):
+    # star around a hub: many wedges, zero triangles
+    edges = [("hub", f"n{i}") for i in range(12)]
+    assert _tri(spark, edges) == {}
