@@ -72,3 +72,63 @@ def test_asof_single_exchange_no_python(spark, sides):
     # window dedup + window match share the same key: ONE hash exchange
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """pandas.merge_asof is the reference implementation of backward-
+    inclusive as-of semantics — drive both over the same deterministic
+    pseudo-random data and require identical matches."""
+    import pandas as pd
+    import numpy as np
+
+    from json_ld_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(42)
+    base = pd.Timestamp("2024-01-01")
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 200),
+            "ts": base + pd.to_timedelta(rng.randint(0, 10_000, 200), "s"),
+            "lid": np.arange(200),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, 150),
+            "rts": base + pd.to_timedelta(rng.randint(0, 10_000, 150), "s"),
+            "rid": np.arange(1000, 1150),
+        }
+    )
+    # merge_asof requires unique right (k, ts) for a deterministic match:
+    # keep max rid per (k, rts), mirroring tie_break="rid"
+    right_uniq = (
+        right_pd.sort_values("rid").groupby(["k", "rts"], as_index=False).last()
+    )
+    expected = pd.merge_asof(
+        left_pd.sort_values("ts"),
+        right_uniq.sort_values("rts"),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("lid")
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            on=["k"],
+            left_ts="ts",
+            right_ts="rts",
+            tie_break="rid",
+        )
+        .toPandas()
+        .sort_values("lid")
+    )
+    exp_map = dict(zip(expected["lid"], expected["rid"]))
+    got_map = dict(zip(got["lid"], got["rid"]))
+    assert len(got_map) == 200
+    for lid in range(200):
+        e, g = exp_map[lid], got_map[lid]
+        assert (pd.isna(e) and pd.isna(g)) or e == g, (lid, e, g)
