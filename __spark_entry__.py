@@ -203,6 +203,19 @@ def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention edges (operators/graph.comention_pairs): top-50
+    unordered entity-IRI pairs by number of turns mentioning both, with
+    each side's own turn count carried as exact integers (PMI/lift
+    derivable downstream — no libm log in the operator). The per-turn
+    entity-count guard (>64 entities → turn excluded) rides the pair
+    join's own exchange. Oracle: plain DuckDB SQL over the golden
+    triples."""
+    from json_ld_spark.operators.graph import comention_pairs
+
+    return comention_pairs(_clean_triples(spark, sf_dir))
+
+
 def _kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded multi-source BFS over the canonical KG
     (operators/graph.khop_reachability): every node within 3 directed
@@ -1208,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": _kg_degree_stats,
         "kg_khop": _kg_khop,
         "kg_triangles": _kg_triangles,
+        "kg_comention": _kg_comention,
         "kg_mentions": _kg_mentions,
         "kg_hub_entities": _kg_hub_entities,
         "kg_turn_text_hash": _kg_turn_text_hash,
@@ -1423,6 +1437,27 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(out_degree, 0)::BIGINT AS out_degree, "
             "coalesce(in_degree, 0)::BIGINT AS in_degree "
             "FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node"
+        ),
+        "kg_comention": (
+            "WITH base AS (SELECT conv_id, turn_idx, subj, obj_kind, "
+            f"obj_value FROM {_G_TRIPLES} WHERE error_code IS NULL), "
+            "ents AS (SELECT DISTINCT conv_id, turn_idx, iri FROM ("
+            "SELECT conv_id, turn_idx, subj AS iri FROM base "
+            "WHERE NOT starts_with(subj, '_:') "
+            "UNION ALL SELECT conv_id, turn_idx, obj_value FROM base "
+            "WHERE obj_kind = 'iri' AND NOT starts_with(obj_value, '_:'))), "
+            "bounded AS (SELECT conv_id, turn_idx, iri FROM ("
+            "SELECT *, count(*) OVER (PARTITION BY conv_id, turn_idx) AS k "
+            "FROM ents) WHERE k <= 64), "
+            "et AS (SELECT iri, count(*) AS turns FROM bounded GROUP BY 1), "
+            "pairs AS (SELECT e1.iri AS a, e2.iri AS b, "
+            "count(*) AS pair_turns FROM bounded e1 JOIN bounded e2 "
+            "ON e1.conv_id = e2.conv_id AND e1.turn_idx = e2.turn_idx "
+            "AND e1.iri < e2.iri GROUP BY 1, 2) "
+            "SELECT a, b, pair_turns::BIGINT AS pair_turns, "
+            "ta.turns::BIGINT AS a_turns, tb.turns::BIGINT AS b_turns "
+            "FROM pairs JOIN et ta ON a = ta.iri JOIN et tb ON b = tb.iri "
+            "ORDER BY pair_turns DESC, a, b LIMIT 50"
         ),
         "kg_triangles": (
             # first-principles enumeration (lexicographic a<b orientation,

@@ -231,3 +231,84 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def comention_pairs(
+    triples: DataFrame,
+    max_per_turn: int = 64,
+    top_k: int = 50,
+) -> DataFrame:
+    """Entity co-mention edges — the standard KG relatedness signal: for
+    every unordered pair of entity IRIs appearing in the SAME turn's
+    extracted triples (as subject or IRI object; blank nodes excluded),
+    count the number of distinct turns containing both, alongside each
+    side's own turn count (``a_turns``/``b_turns``) so PMI/lift stay
+    derivable downstream from exact integers — no floating-point log in
+    the operator, which would make cross-engine bit-equality depend on
+    libm rounding. Returns the ``top_k`` pairs by
+    (pair_turns DESC, a, b).
+
+    Skew guard: pair fan-out per turn is C(k,2) for k entities — a
+    pathological turn mentioning 10^4 entities would emit 5*10^7 pairs
+    from one row. Turns with more than ``max_per_turn`` entities are
+    EXCLUDED (not truncated: a truncated pair set would silently bias
+    counts), via a count window over the same (conv_id, turn_idx) key
+    the pair self-join shuffles on — the window's exchange IS the
+    join's exchange, so the guard is free.
+    """
+    from pyspark.sql import Window
+
+    base = triples.where(F.col("error_code").isNull())
+    ents = (
+        base.where(~F.col("subj").startswith("_:"))
+        .select("conv_id", "turn_idx", F.col("subj").alias("iri"))
+        .union(
+            base.where(
+                (F.col("obj_kind") == "iri")
+                & ~F.col("obj_value").startswith("_:")
+            ).select("conv_id", "turn_idx", F.col("obj_value").alias("iri"))
+        )
+        .distinct()
+    )
+    turn_w = Window.partitionBy("conv_id", "turn_idx")
+    # bounded feeds ent_turns and BOTH pair-join sides — localCheckpoint
+    # so the upstream lineage (with a KG extraction input, an Arrow
+    # kernel pass) executes once, not three times
+    bounded = (
+        ents.withColumn("__k", F.count("*").over(turn_w))
+        .where(F.col("__k") <= max_per_turn)
+        .select("conv_id", "turn_idx", "iri")
+        .localCheckpoint()
+    )
+
+    ent_turns = bounded.groupBy("iri").agg(F.count("*").alias("turns"))
+    e1, e2 = bounded.alias("e1"), bounded.alias("e2")
+    pairs = (
+        e1.join(
+            e2,
+            (F.col("e1.conv_id") == F.col("e2.conv_id"))
+            & (F.col("e1.turn_idx") == F.col("e2.turn_idx"))
+            & (F.col("e1.iri") < F.col("e2.iri")),
+        )
+        .groupBy(
+            F.col("e1.iri").alias("a"), F.col("e2.iri").alias("b")
+        )
+        .agg(F.count("*").alias("pair_turns"))
+    )
+    return (
+        pairs.join(
+            ent_turns.select(
+                F.col("iri").alias("a"), F.col("turns").alias("a_turns")
+            ),
+            "a",
+        )
+        .join(
+            ent_turns.select(
+                F.col("iri").alias("b"), F.col("turns").alias("b_turns")
+            ),
+            "b",
+        )
+        .select("a", "b", "pair_turns", "a_turns", "b_turns")
+        .orderBy(F.desc("pair_turns"), "a", "b")
+        .limit(top_k)
+    )

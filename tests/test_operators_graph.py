@@ -130,3 +130,52 @@ def test_triangle_counts_hub_star_has_none(spark):
     # star around a hub: many wedges, zero triangles
     edges = [("hub", f"n{i}") for i in range(12)]
     assert _tri(spark, edges) == {}
+
+
+# ------------------------------------------------------------ co-mention
+
+
+def test_comention_pairs_counts_and_guard(spark):
+    from json_ld_spark.operators.graph import comention_pairs
+
+    def t(conv, turn, subj, kind, obj):
+        return (conv, turn, subj, "http://p/", kind, obj, None)
+
+    rows = [
+        # turn 1: entities A, B (B via iri object; literal ignored)
+        t("c", 1, "http://A", "iri", "http://B"),
+        t("c", 1, "http://A", "literal", "x"),
+        # turn 2: A, B again + C; blank-node subject ignored
+        t("c", 2, "http://A", "iri", "http://B"),
+        t("c", 2, "http://C", "literal", "y"),
+        t("c", 2, "_:b0", "iri", "http://A"),
+        # turn 3: a quarantined row contributes nothing
+        ("c", 3, "http://A", "http://p/", "iri", "http://B", "ERR"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subj string, pred string, "
+        "obj_kind string, obj_value string, error_code string",
+    )
+    out = {
+        (r["a"], r["b"]): (r["pair_turns"], r["a_turns"], r["b_turns"])
+        for r in comention_pairs(df).collect()
+    }
+    assert out[("http://A", "http://B")] == (2, 2, 2)
+    assert out[("http://A", "http://C")] == (1, 2, 1)
+    assert out[("http://B", "http://C")] == (1, 2, 1)
+    assert len(out) == 3
+
+    # guard: a turn with k > max_per_turn is excluded wholesale
+    wide = spark.createDataFrame(
+        [t("c", 1, f"http://E{i}", "literal", "x") for i in range(5)]
+        + [t("c", 2, "http://E0", "iri", "http://E1")],
+        "conv_id string, turn_idx int, subj string, pred string, "
+        "obj_kind string, obj_value string, error_code string",
+    )
+    guarded = {
+        (r["a"], r["b"]): r["pair_turns"]
+        for r in comention_pairs(wide, max_per_turn=4).collect()
+    }
+    # turn 1 (5 entities) dropped entirely; only turn 2's single pair
+    assert guarded == {("http://E0", "http://E1"): 1}
