@@ -750,6 +750,7 @@ def _text_tokens(spark, sf_dir):
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+        F.col("n_bpe_pretokens").cast("int").alias("n_bpe_pretokens"),
     )
 
 
@@ -1786,7 +1787,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_token_count": (
             f"{_TOKS_CTE} SELECT d.doc_id, len(t.toks) AS n_tokens, "
-            "length(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS n_chars_norm "
+            "length(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS n_chars_norm, "
+            # GPT-2-style pre-token count: same Java∩RE2-safe pattern as
+            # operators/textstats.BPE_PRETOKEN_RE
+            "len(regexp_extract_all(d.text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::INT "
+            "AS n_bpe_pretokens "
             "FROM documents d JOIN toks t ON d.doc_id = t.doc_id ORDER BY d.doc_id"
         ),
         "text_quality": (

@@ -19,12 +19,29 @@ STOPWORDS = {
 }
 
 
+# GPT-2-style pre-tokenizer (the "BPE-ish" count): contraction suffixes,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs, whitespace runs. Restricted to the Java∩RE2 regex
+# subset (no lookahead — GPT-2's original `\s+(?!\S)` branch is dropped;
+# trailing-space splits shift ONE match between adjacent whitespace runs,
+# irrelevant for counting) so Spark (Java regex) and the DuckDB oracle
+# (RE2) count identically.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_chars_norm) — whitespace+regex tokenization."""
+    """(doc_id, n_tokens, n_chars_norm, n_bpe_pretokens) — whitespace+
+    regex tokenization plus the GPT-2-style pre-token count, the cheap
+    JVM-side estimator of BPE token cost a training pipeline budgets
+    sequences with (real BPE merges only ever SPLIT pre-tokens further,
+    so this lower-bounds and tracks the true token count)."""
     return docs.select(
         "doc_id",
         F.size(tokens()).alias("n_tokens"),
         F.length(F.trim(normalized_text())).alias("n_chars_norm"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PRETOKEN_RE)).alias(
+            "n_bpe_pretokens"
+        ),
     ).orderBy("doc_id")
 
 

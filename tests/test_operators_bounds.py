@@ -366,3 +366,22 @@ def test_substring_dup_stats_short_docs_zero(spark):
     assert rows[1]["n_shingles"] == 0
     assert rows[1]["dup_frac"] == 0.0
     assert rows[1]["max_dup_span"] == 0
+
+
+def test_bpe_pretoken_count_semantics(spark):
+    from json_ld_spark.operators.textstats import token_count
+
+    docs = spark.createDataFrame(
+        [
+            # GPT-2 pre-tokens: [don]['t][ shout][ 123][ times][!!][\n]
+            (1, "don't shout 123 times!!\n"),
+            (2, ""),
+            # [a][-][b] then [ c2] splits letter/digit: [ c][2]
+            (3, "a-b c2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_bpe_pretokens"] for r in token_count(docs).collect()}
+    assert out[1] == 7
+    assert out[2] == 0
+    assert out[3] == 5
