@@ -203,6 +203,22 @@ def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-commit referential-integrity audit of the materialized KG
+    (pipeline/audit.kg_integrity): dangling edge endpoints, orphan
+    nodes, duplicate canon ids, self-loops, null keys — one row of
+    BIGINT counts, the gate a production pipeline runs after every
+    snapshot commit. Oracle: scalar subqueries over the golden
+    node/edge parquet."""
+    from json_ld_spark.pipeline.audit import kg_integrity
+    from json_ld_spark.pipeline.entity import canonicalize
+
+    _, nodes, edges = canonicalize(
+        _clean_triples(spark, sf_dir), materialize=True
+    )
+    return kg_integrity(nodes, edges)
+
+
 def _kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-mention edges (operators/graph.comention_pairs): top-50
     unordered entity-IRI pairs by number of turns mentioning both, with
@@ -772,6 +788,19 @@ def _text_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _text_length_quantiles(spark, sf_dir):
+    """Exact per-source token-length quantiles
+    (operators/textstats.length_quantiles): rank statistics, not approx
+    sketches — pXX is the element at ascending rank ceil(q*n), integer
+    rank arithmetic, every output BIGINT, so a curation gate on 'p99
+    length' replays identically on any engine. Oracle: the same
+    rank-selection DEFINITION in DuckDB SQL (the definition is shared;
+    the implementations — window-max-when vs join-on-rank — are not)."""
+    from json_ld_spark.operators.textstats import length_quantiles
+
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 def _text_decontaminate(spark, sf_dir):
     """Training-set decontamination (operators/textstats.decontaminate):
     flag documents sharing any distinct word 8-gram with the eval set
@@ -1223,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop": _kg_khop,
         "kg_triangles": _kg_triangles,
         "kg_comention": _kg_comention,
+        "kg_integrity": _kg_integrity,
+        "text_length_quantiles": _text_length_quantiles,
         "kg_mentions": _kg_mentions,
         "kg_hub_entities": _kg_hub_entities,
         "kg_turn_text_hash": _kg_turn_text_hash,
@@ -1438,6 +1469,26 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(out_degree, 0)::BIGINT AS out_degree, "
             "coalesce(in_degree, 0)::BIGINT AS in_degree "
             "FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node"
+        ),
+        "kg_integrity": (
+            f"WITH ng AS (SELECT * FROM read_parquet('{_GOLDEN}/nodes.parquet')), "
+            f"eg AS (SELECT * FROM read_parquet('{_GOLDEN}/edges.parquet')) "
+            "SELECT "
+            "(SELECT count(*) FROM ng)::BIGINT AS n_nodes, "
+            "(SELECT count(*) FROM eg)::BIGINT AS n_edges, "
+            "(SELECT count(*) FROM (SELECT canon_id FROM ng GROUP BY 1 "
+            "HAVING count(*) > 1))::BIGINT AS dup_node_ids, "
+            "(SELECT count(*) FROM eg e WHERE NOT EXISTS (SELECT 1 FROM ng n "
+            "WHERE n.canon_id = e.src_canon))::BIGINT AS dangling_src, "
+            "(SELECT count(*) FROM eg e WHERE NOT EXISTS (SELECT 1 FROM ng n "
+            "WHERE n.canon_id = e.dst_canon))::BIGINT AS dangling_dst, "
+            "(SELECT count(*) FROM ng n WHERE NOT EXISTS (SELECT 1 FROM eg e "
+            "WHERE e.src_canon = n.canon_id OR e.dst_canon = n.canon_id)"
+            ")::BIGINT AS orphan_nodes, "
+            "(SELECT count(*) FROM eg WHERE src_canon = dst_canon)::BIGINT "
+            "AS self_loops, "
+            "(SELECT count(*) FROM eg WHERE src_canon IS NULL OR pred IS NULL "
+            "OR dst_canon IS NULL)::BIGINT AS null_keys"
         ),
         "kg_comention": (
             "WITH base AS (SELECT conv_id, turn_idx, subj, obj_kind, "
@@ -1929,6 +1980,24 @@ def oracle_sql() -> dict[str, str]:
             r"'\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'), "
             r"'\+\d{9,15}\b', '<PHONE>', 'g')) AS scrubbed_md5 "
             "FROM d ORDER BY doc_id"
+        ),
+        "text_length_quantiles": (
+            # the same rank-selection DEFINITION, independently implemented:
+            # integer ceil(q*n) rank over (n_tokens, doc_id) ascending
+            "WITH toks AS (SELECT doc_id, source, len(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+            "::BIGINT AS n_tokens FROM documents), "
+            "ranked AS (SELECT source, n_tokens, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_tokens, doc_id) AS rn, "
+            "count(*) OVER (PARTITION BY source) AS n FROM toks) "
+            "SELECT source, count(*) AS n_docs, "
+            "max(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END)::BIGINT "
+            "AS p50_tokens, "
+            "max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END)::BIGINT "
+            "AS p90_tokens, "
+            "max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_tokens END)"
+            "::BIGINT AS p99_tokens "
+            "FROM ranked GROUP BY source ORDER BY source"
         ),
         "text_decontaminate": (
             # word 8-grams (toks[i:i+7] is 8 elements — DuckDB slices are

@@ -284,3 +284,47 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
             ),
         ).alias("top_gram_frac"),
     ).orderBy("doc_id")
+
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Per-source EXACT token-length quantiles — rank statistics, not
+    Spark's approx sketches: ``pXX`` is the token count of the document
+    at ascending rank ``ceil(q * n)`` (ties broken by doc_id, so the
+    selected element — not merely its value — is engine-independent).
+    ``percentile_approx``/t-digest answers differ run-to-run and
+    engine-to-engine; a curation pipeline that gates on "p99 length"
+    needs the gate to be replayable. Rank arithmetic is pure integer
+    (``ceil(q*n)`` as ``(q_num*n + q_den-1) div q_den``), every output a
+    BIGINT.
+
+    Plan: one window sort per source partition (the same exchange the
+    final groupBy reuses) — at 10^12 docs the per-source sort is the
+    bound; sources are few and far below task limits, and a pathological
+    single-source corpus would switch to the two-pass
+    count-then-rank-select formulation (noted, not needed here).
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens()).cast("long")
+    base = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("source"))
+    )
+
+    def pick(num: int, den: int, alias: str):
+        target = F.expr(f"({num} * n + {den - 1}) div {den}")
+        return F.max(
+            F.when(F.col("rn") == target, F.col("n_tokens"))
+        ).alias(alias)
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            pick(1, 2, "p50_tokens"),
+            pick(9, 10, "p90_tokens"),
+            pick(99, 100, "p99_tokens"),
+        )
+        .orderBy("source")
+    )

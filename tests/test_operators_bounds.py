@@ -385,3 +385,21 @@ def test_bpe_pretoken_count_semantics(spark):
     assert out[1] == 7
     assert out[2] == 0
     assert out[3] == 5
+
+
+def test_length_quantiles_rank_selection(spark):
+    from json_ld_spark.operators.textstats import length_quantiles
+
+    # source s: 10 docs with 1..10 tokens -> ranks are the counts
+    # themselves: p50 = rank ceil(5.0)=5, p90 = rank 9, p99 = rank 10
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * i)) for i in range(1, 11)]
+        + [(100, "t", "a b c")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in length_quantiles(docs).collect()}
+    s = out["s"]
+    assert (s["n_docs"], s["p50_tokens"], s["p90_tokens"], s["p99_tokens"]) \
+        == (10, 5, 9, 10)
+    t = out["t"]  # single doc: every quantile is that doc
+    assert (t["n_docs"], t["p50_tokens"], t["p99_tokens"]) == (1, 3, 3)
