@@ -62,6 +62,14 @@ def main() -> None:
         "per-turn added/removed/changed/unchanged/unknown diff under "
         "<out>/diff",
     )
+    ap.add_argument(
+        "--audit",
+        action="store_true",
+        help="run the referential-integrity audit over the WRITTEN "
+        "node/edge tables (dangling endpoints, orphans, dup ids, "
+        "self-loops, null keys) and merge the counts into the summary; "
+        "exit status stays 0 — the orchestrator decides what to gate on",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -160,6 +168,21 @@ def main() -> None:
     }
     if skol_quarantined is not None:
         summary["skolem_quarantined_turns"] = skol_quarantined
+    if args.audit:
+        from json_ld_spark.pipeline.audit import kg_integrity
+
+        # audit the tables as WRITTEN (re-read from --out), not the
+        # in-memory frames — a partial/corrupt write is exactly what the
+        # audit exists to catch
+        audit_row = (
+            kg_integrity(
+                spark.read.parquet(os.path.join(args.out, "nodes")),
+                spark.read.parquet(os.path.join(args.out, "edges")),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        summary["audit"] = audit_row
     print(json.dumps(summary))
     spark.stop()
 
