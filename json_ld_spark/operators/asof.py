@@ -64,6 +64,14 @@ def asof_join(
     not overlap between the two sides except for ``on``.
     """
     on = list(on)
+    # ANSI join semantics on NULL keys: a NULL never equals anything, so a
+    # right row with a NULL key can match no left row — drop them up
+    # front. (The union+window formulation would otherwise group NULL
+    # keys together, silently matching NULL-keyed lefts to NULL-keyed
+    # rights — a semantic SQL engines never have.) NULL-keyed LEFT rows
+    # stay, emitting null right columns like any unmatched left row.
+    for key in on:
+        right = right.where(F.col(key).isNotNull())
     right_payload = [c for c in right.columns if c not in on]
     left_payload = [c for c in left.columns if c not in on and c != left_ts]
     overlap = set(right_payload) & set(left_payload)

@@ -132,3 +132,25 @@ def test_asof_matches_pandas_merge_asof(spark):
     for lid in range(200):
         e, g = exp_map[lid], got_map[lid]
         assert (pd.isna(e) and pd.isna(g)) or e == g, (lid, e, g)
+
+
+def test_asof_null_keys_follow_ansi_semantics(spark):
+    # NULL never equals NULL in SQL: a NULL-keyed right row matches no
+    # one; a NULL-keyed left row survives with null right columns.
+    import datetime as dt
+
+    from json_ld_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, dt.datetime(2024, 1, 1, 0, 5), 100)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(None, dt.datetime(2024, 1, 1, 0, 1), 200)],
+        "k long, rts timestamp, rid long",
+    )
+    rows = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", tie_break="rid"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["lid"] == 100 and rows[0]["rid"] is None
