@@ -55,14 +55,21 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tie_break: Optional[str] = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join.
+    """Inclusive as-of join. ``direction="backward"`` (default) matches
+    the GREATEST ``right_ts <= left_ts``; ``"forward"`` matches the
+    SMALLEST ``right_ts >= left_ts`` (pandas ``merge_asof`` directions;
+    "nearest" is deliberately absent — compose both directions and pick,
+    its tie rules are convention, not semantics).
 
     Returns every ``left`` row with all ``right`` non-key, non-ts columns
-    appended (null when no right row is at-or-before ``left_ts`` for the
-    key) plus ``right_ts`` itself under its own name. Column names must
-    not overlap between the two sides except for ``on``.
+    appended (null when no right row matches for the key) plus
+    ``right_ts`` itself under its own name. Column names must not
+    overlap between the two sides except for ``on``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
     on = list(on)
     # ANSI join semantics on NULL keys: a NULL never equals anything, so a
     # right row with a NULL key can match no left row — drop them up
@@ -113,10 +120,20 @@ def asof_join(
           for c in left_payload],
     )
 
+    # forward direction is the same single window pass with the TIME
+    # sort flipped: in descending-ts order the "preceding" frame holds
+    # rows with ts >= current, so last(ignorenulls) lands on the nearest
+    # following right row; tag and tie orders are direction-independent
+    # (right-before-left at equal ts keeps the bound inclusive, max-tie
+    # still sorts last in its run).
+    ts_ord = (
+        F.col("__ts").asc() if direction == "backward"
+        else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(
-            F.col("__ts").asc(),
+            ts_ord,
             F.col("__tag").asc(),
             F.col("__tie").asc_nulls_last(),
         )

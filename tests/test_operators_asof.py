@@ -154,3 +154,65 @@ def test_asof_null_keys_follow_ansi_semantics(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0]["lid"] == 100 and rows[0]["rid"] is None
+
+
+def test_asof_forward_direction(spark, sides):
+    from json_ld_spark.operators.asof import asof_join
+
+    left, right = sides
+    out = {
+        r["lid"]: (r["rid"], r["rts"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            tie_break="rid", direction="forward",
+        ).collect()
+    }
+    assert out[100] == (202, _ts(6))   # smallest rts >= ts(5)
+    assert out[101] == (205, _ts(2))   # equal ts inclusive; max-rid tie
+    assert out[102] == (205, _ts(2))   # nearest following from ts(1)
+    assert out[103] == (None, None)    # key 2 absent from right
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                  direction="nearest")
+
+
+def test_asof_forward_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from json_ld_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2024-01-01")
+    left_pd = pd.DataFrame({
+        "k": rng.randint(0, 4, 120),
+        "ts": base + pd.to_timedelta(rng.randint(0, 5000, 120), "s"),
+        "lid": np.arange(120),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.randint(0, 5, 90),
+        "rts": base + pd.to_timedelta(rng.randint(0, 5000, 90), "s"),
+        "rid": np.arange(1000, 1090),
+    })
+    right_uniq = (
+        right_pd.sort_values("rid").groupby(["k", "rts"], as_index=False).last()
+    )
+    expected = pd.merge_asof(
+        left_pd.sort_values("ts"), right_uniq.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k",
+        direction="forward", allow_exact_matches=True,
+    )
+    got = asof_join(
+        spark.createDataFrame(left_pd), spark.createDataFrame(right_pd),
+        on=["k"], left_ts="ts", right_ts="rts",
+        tie_break="rid", direction="forward",
+    ).toPandas()
+    exp_map = dict(zip(expected["lid"], expected["rid"]))
+    got_map = dict(zip(got["lid"], got["rid"]))
+    assert len(got_map) == 120
+    import pandas as _pd
+    for lid in range(120):
+        e, g = exp_map[lid], got_map[lid]
+        assert (_pd.isna(e) and _pd.isna(g)) or e == g, (lid, e, g)

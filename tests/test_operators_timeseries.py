@@ -128,3 +128,61 @@ def test_gapfill_present_bucket_with_null_agg_not_marked_gap(spark):
     assert len(out) == 1
     # sum(v) is NULL on a PRESENT bucket: not a gap; fill still applies
     assert out[0]["gap_filled"] is False
+
+
+def test_range_join_bucket_boundaries_property(spark):
+    """Hypothesis sweep over window bounds (negative, positive, zero-width,
+    zero-crossing) and timestamps clustered near bucket edges — the bucket
+    arithmetic must reproduce the raw predicate exactly. Few examples
+    (each drives a real Spark job) but adversarial ranges."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pyspark.sql.functions as F
+
+    from json_ld_spark.operators.timeseries import bucketed_range_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        lo=st.integers(min_value=-900, max_value=900),
+        span=st.integers(min_value=0, max_value=900),
+        lsecs=st.lists(
+            st.integers(min_value=0, max_value=2000), min_size=3, max_size=8
+        ),
+        rsecs=st.lists(
+            st.integers(min_value=0, max_value=2000), min_size=3, max_size=8
+        ),
+    )
+    def check(lo, span, lsecs, rsecs):
+        hi = lo + span
+        left = spark.createDataFrame(
+            [(1, base + dt.timedelta(seconds=s), i)
+             for i, s in enumerate(lsecs)],
+            "k long, ts timestamp, lid long",
+        )
+        right = spark.createDataFrame(
+            [(1, base + dt.timedelta(seconds=s), i + 1000)
+             for i, s in enumerate(rsecs)],
+            "k long, rts timestamp, rid long",
+        )
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in bucketed_range_join(
+                left, right, ["k"], "ts", "rts", lo, hi
+            ).collect()
+        )
+        raw = sorted(
+            (r["lid"], r["rid"])
+            for r in left.join(right, "k")
+            .where(
+                (F.unix_timestamp("rts") >= F.unix_timestamp("ts") + lo)
+                & (F.unix_timestamp("rts") <= F.unix_timestamp("ts") + hi)
+            )
+            .collect()
+        )
+        assert got == raw
+
+    check()
