@@ -1840,9 +1840,11 @@ def oracle_sql() -> dict[str, str]:
             f"{_TOKS_CTE} SELECT d.doc_id, len(t.toks) AS n_tokens, "
             "length(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS n_chars_norm, "
             # GPT-2-style pre-token count: same Java∩RE2-safe pattern as
-            # operators/textstats.BPE_PRETOKEN_RE
+            # operators/textstats.BPE_PRETOKEN_RE (explicit whitespace
+            # class — Java's \s includes \x0B, RE2's does not)
             "len(regexp_extract_all(d.text, "
-            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::INT "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+"
+            "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+'))::INT "
             "AS n_bpe_pretokens "
             "FROM documents d JOIN toks t ON d.doc_id = t.doc_id ORDER BY d.doc_id"
         ),

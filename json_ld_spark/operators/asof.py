@@ -70,6 +70,12 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction!r}")
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must have distinct names "
+            f"(both {left_ts!r}): the matched right timestamp is returned "
+            "under its own name alongside the left one"
+        )
     on = list(on)
     # ANSI join semantics on NULL keys: a NULL never equals anything, so a
     # right row with a NULL key can match no left row — drop them up
@@ -79,6 +85,13 @@ def asof_join(
     # stay, emitting null right columns like any unmatched left row.
     for key in on:
         right = right.where(F.col(key).isNotNull())
+    # Likewise for NULL timestamps: `r.ts <= l.ts` is NULL (no match) in
+    # ANSI for a NULL on either side, so NULL-ts right rows can match
+    # nothing — drop them. NULL-ts LEFT rows must still come out with
+    # null right columns: the window sort below puts NULL __ts FIRST in
+    # both directions, so their frame holds no (filtered, non-null-ts)
+    # right rows.
+    right = right.where(F.col(right_ts).isNotNull())
     right_payload = [c for c in right.columns if c not in on]
     left_payload = [c for c in left.columns if c not in on and c != left_ts]
     overlap = set(right_payload) & set(left_payload)
@@ -127,15 +140,15 @@ def asof_join(
     # (right-before-left at equal ts keeps the bound inclusive, max-tie
     # still sorts last in its run).
     ts_ord = (
-        F.col("__ts").asc() if direction == "backward"
-        else F.col("__ts").desc()
+        F.col("__ts").asc_nulls_first() if direction == "backward"
+        else F.col("__ts").desc_nulls_first()
     )
     w = (
         Window.partitionBy(*on)
         .orderBy(
             ts_ord,
             F.col("__tag").asc(),
-            F.col("__tie").asc_nulls_last(),
+            F.col("__tie").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

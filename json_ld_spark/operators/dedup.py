@@ -33,6 +33,27 @@ def tokens(col=F.col("text")) -> F.Column:
     )
 
 
+def shingle_array(toks: F.Column, n: int) -> F.Column:
+    """Word n-gram shingles via shifted-array zip_with (JVM-side) — the
+    shared builder for every shingling operator in this module.
+
+    Deliberately NOT the transform(sequence(...), i -> slice(toks, i, n))
+    form: that embeds the whole tokenizer expression in the lambda body,
+    and higher-order lambdas re-evaluate outer references PER ELEMENT
+    (tokenizer once per shingle index — measured 3.3× slower on the
+    textstats fingerprint operator). Here ``toks`` evaluates n times per
+    row (once per shifted copy), each zip_with input exactly once.
+    slice with length 0 handles short docs (empty gram array)."""
+    L = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, L)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, k + 1, L),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact near-copy groups: md5 over normalized text.
 
@@ -150,22 +171,9 @@ def ngram_jaccard_pairs(
     measured 2× slower at sf0.1 — see the inline note). The DuckDB oracle
     applies the identical filter.
     """
-    # n-gram shingles via shifted-array zip_with (JVM-side); per-doc
-    # token cap bounds the inverted index for pathological documents.
-    # The transform(sequence(...), i -> slice(toks, i, n)) form embeds the
-    # whole tokenizer in the lambda body and higher-order lambdas
-    # re-evaluate outer references PER ELEMENT (tokenizer once per shingle
-    # index — measured 3.3× slower on the sibling fingerprint operator);
-    # here toks evaluates n times per row, each zip_with input once.
-    toks = F.slice(tokens(), 1, 200)
-    L = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    acc = F.slice(toks, 1, L)
-    for k in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(toks, k + 1, L),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    grams = acc
+    # per-doc token cap bounds the inverted index for pathological
+    # documents; see shingle_array for the zip_with-vs-transform rationale
+    grams = shingle_array(F.slice(tokens(), 1, 200), n)
     # PITFALL (measured, do not "optimize"): carrying the set size alongside
     # the explode via a two-step select
     # (select(gs) -> select(size(gs), explode(gs))) looks like it saves the
@@ -556,14 +564,9 @@ def substring_dup_stats(
 
     toks = F.slice(tokens(), 1, max_tokens)
     L = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    acc = F.slice(toks, 1, L)
-    for k in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(toks, k + 1, L),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
     pos = docs.select(
-        "doc_id", F.posexplode(acc).alias("pos0", "shingle")
+        "doc_id",
+        F.posexplode(shingle_array(toks, n)).alias("pos0", "shingle"),
     )
     dup = (
         pos.withColumn(

@@ -25,8 +25,15 @@ STOPWORDS = {
 # subset (no lookahead — GPT-2's original `\s+(?!\S)` branch is dropped;
 # trailing-space splits shift ONE match between adjacent whitespace runs,
 # irrelevant for counting) so Spark (Java regex) and the DuckDB oracle
-# (RE2) count identically.
-BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# (RE2) count identically. `\s` itself is NOT in that subset — Java's \s
+# includes vertical tab \x0B, RE2's does not, so a document with \x0B
+# adjacent to other whitespace would count differently — hence the
+# explicit class [ \t\n\x0B\f\r], byte-identical in both engines.
+_WS = r" \t\n\x0B\f\r"
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+"
+)
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -129,17 +136,11 @@ def fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:
 
 
 def _word_ngrams(toks: F.Column, n: int) -> F.Column:
-    """Word n-grams via shifted-array zip_with (each input evaluates once
-    per shifted copy — see the fingerprint() note on why the naive
-    transform(sequence(...)) form re-runs the tokenizer per gram)."""
-    L = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    acc = F.slice(toks, 1, L)
-    for k in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(toks, k + 1, L),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return acc
+    """Word n-grams — the shared zip_with builder (see
+    dedup.shingle_array for the zip_with-vs-transform rationale)."""
+    from .dedup import shingle_array
+
+    return shingle_array(toks, n)
 
 
 def decontaminate(

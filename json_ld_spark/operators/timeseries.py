@@ -98,9 +98,22 @@ def time_bucket_gapfill(
     at sum-of-spans, not n_keys * global_span.
     """
     on = list(on)
+    aggs, fills = list(aggs), list(fills)
+    if len(aggs) != len(fills):
+        # zip() below would silently truncate to the shorter list and
+        # DROP aggregate columns from the output — fail loudly instead
+        raise ValueError(
+            f"aggs ({len(aggs)}) and fills ({len(fills)}) must pair up 1:1"
+        )
     bucket = F.floor(F.unix_timestamp(F.col(ts)) / F.lit(width))
-    sparse = df.withColumn("__bucket", bucket).groupBy(*on, "__bucket").agg(
-        *aggs
+    # sparse feeds spans AND the final left join: localCheckpoint so an
+    # expensive upstream lineage (plus this groupBy) executes once, not
+    # twice — the same lineage-cut discipline as the graph operators.
+    sparse = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*on, "__bucket")
+        .agg(*aggs)
+        .localCheckpoint()
     )
     spans = sparse.groupBy(*on).agg(
         F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
@@ -110,7 +123,7 @@ def time_bucket_gapfill(
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__bucket"),
     )
     agg_names = [sparse.schema[i + len(on) + 1].name
-                 for i in range(len(list(aggs)))]
+                 for i in range(len(aggs))]
     # explicit presence marker: a legitimate NULL aggregate on a present
     # bucket (e.g. sum of all-null values) must not read as a gap
     sparse = sparse.withColumn("__present", F.lit(True))
@@ -122,7 +135,7 @@ def time_bucket_gapfill(
         F.col("__present").isNull().alias("gap_filled"),
         *[
             F.coalesce(F.col(name), fill).alias(name)
-            for name, fill in zip(agg_names, list(fills))
+            for name, fill in zip(agg_names, fills)
         ],
     )
     return filled

@@ -216,3 +216,58 @@ def test_asof_forward_matches_pandas(spark):
     for lid in range(120):
         e, g = exp_map[lid], got_map[lid]
         assert (_pd.isna(e) and _pd.isna(g)) or e == g, (lid, e, g)
+
+
+def test_asof_null_timestamps_follow_ansi_semantics(spark):
+    # r.ts <= l.ts is NULL (no match) when either side's ts is NULL:
+    # NULL-ts right rows match nothing; NULL-ts left rows come out with
+    # null right columns — in BOTH directions.
+    from json_ld_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(5), 100), (1, None, 101)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 200), (1, _ts(3), 201)],
+        "k long, rts timestamp, rid long",
+    )
+    for direction, expect_100 in (("backward", 201), ("forward", None)):
+        out = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="rts",
+                tie_break="rid", direction=direction,
+            ).collect()
+        }
+        assert out[100] == expect_100, direction   # never the NULL-ts 200
+        assert out[101] is None, direction         # NULL-ts left: no match
+
+
+def test_asof_null_tie_break_loses_to_valued(spark):
+    # SQL greatest-value semantics ignore NULLs: a NULL-tie right row
+    # must lose to the valued one at the same (key, ts)
+    from json_ld_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(2), 100)], "k long, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(2), None), (1, _ts(2), 7)],
+        "k long, rts timestamp, rid long",
+    )
+    rows = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", tie_break="rid"
+    ).collect()
+    assert rows[0]["rid"] == 7
+
+
+def test_asof_rejects_same_ts_name(spark, sides):
+    from json_ld_spark.operators.asof import asof_join
+
+    left, right = sides
+    with pytest.raises(ValueError, match="distinct names"):
+        asof_join(
+            left, right.withColumnRenamed("rts", "ts"),
+            on=["k"], left_ts="ts", right_ts="ts",
+        )

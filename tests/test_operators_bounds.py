@@ -387,6 +387,31 @@ def test_bpe_pretoken_count_semantics(spark):
     assert out[3] == 5
 
 
+def test_bpe_pretoken_count_vertical_tab_cross_engine(spark):
+    r"""Java's \s includes \x0B, RE2's does not — the explicit whitespace
+    class in BPE_PRETOKEN_RE must make Spark and DuckDB count identically
+    on vertical-tab-bearing text (the case raw \s diverges on)."""
+    import duckdb
+
+    from json_ld_spark.operators.textstats import (
+        BPE_PRETOKEN_RE,
+        token_count,
+    )
+
+    texts = ["a\x0b  b", "\x0b\x0b", "mix \x0b\t z9"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_bpe_pretokens"] for r in token_count(docs).collect()}
+    # the very same pattern string feeds RE2 — this is what the oracle does
+    for i, t in enumerate(texts):
+        duck = duckdb.sql(
+            "SELECT len(regexp_extract_all(?, ?))",
+            params=[t, BPE_PRETOKEN_RE],
+        ).fetchone()[0]
+        assert got[i] == duck, (i, repr(t), got[i], duck)
+
+
 def test_length_quantiles_rank_selection(spark):
     from json_ld_spark.operators.textstats import length_quantiles
 

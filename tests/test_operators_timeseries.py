@@ -186,3 +186,20 @@ def test_range_join_bucket_boundaries_property(spark):
         assert got == raw
 
     check()
+
+
+def test_gapfill_rejects_mismatched_fills(spark):
+    import pyspark.sql.functions as F
+
+    from json_ld_spark.operators.timeseries import time_bucket_gapfill
+
+    df = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1), 1.0)],
+        "user string, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="pair up 1:1"):
+        time_bucket_gapfill(
+            df, ["user"], "ts", 60,
+            aggs=[F.count("*").alias("n"), F.sum("v").alias("total")],
+            fills=[F.lit(0)],
+        )
