@@ -37,7 +37,14 @@ def kg_integrity(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     ids = nodes.select(F.col("canon_id").alias("node"))
 
     def scalar(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count("*").cast("long").alias(name))
+        # one (metric, value) row per audit branch; the final report
+        # UNIONS these and pivots with one conditional aggregate — no
+        # join of single-row frames at all (a crossJoin, or an equi-join
+        # on a constant key after Catalyst folds it, plans as
+        # BroadcastNestedLoopJoin, banned repo-wide)
+        return df.agg(F.count("*").cast("long").alias("value")).select(
+            F.lit(name).alias("metric"), "value"
+        )
 
     dup_ids = (
         nodes.groupBy("canon_id")
@@ -63,13 +70,25 @@ def kg_integrity(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         | F.col("dst_canon").isNull()
     )
 
-    return (
-        scalar(nodes, "n_nodes")
-        .crossJoin(scalar(edges, "n_edges"))
-        .crossJoin(scalar(dup_ids, "dup_node_ids"))
-        .crossJoin(scalar(dangling_src, "dangling_src"))
-        .crossJoin(scalar(dangling_dst, "dangling_dst"))
-        .crossJoin(scalar(orphans, "orphan_nodes"))
-        .crossJoin(scalar(self_loops, "self_loops"))
-        .crossJoin(scalar(null_keys, "null_keys"))
+    metrics = [
+        scalar(nodes, "n_nodes"),
+        scalar(edges, "n_edges"),
+        scalar(dup_ids, "dup_node_ids"),
+        scalar(dangling_src, "dangling_src"),
+        scalar(dangling_dst, "dangling_dst"),
+        scalar(orphans, "orphan_nodes"),
+        scalar(self_loops, "self_loops"),
+        scalar(null_keys, "null_keys"),
+    ]
+    rows = metrics[0]
+    for m in metrics[1:]:
+        rows = rows.union(m)
+    return rows.groupBy().agg(
+        *[
+            F.max(F.when(F.col("metric") == name, F.col("value"))).alias(name)
+            for name in (
+                "n_nodes", "n_edges", "dup_node_ids", "dangling_src",
+                "dangling_dst", "orphan_nodes", "self_loops", "null_keys",
+            )
+        ]
     )
