@@ -219,6 +219,69 @@ def _kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_integrity(nodes, edges)
 
 
+def _kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C VoID dataset description per predicate (pipeline/audit.
+    void_stats): triples / distinctSubjects / distinctObjects plus the
+    literal/IRI/bnode and typed/language-tagged splits — the statistics
+    page a KG publisher ships and a cardinality estimator reads. One
+    groupBy(pred) with a two-countDistinct Expand. Oracle: plain DuckDB
+    SQL over the golden triples."""
+    from json_ld_spark.pipeline.audit import void_stats
+
+    return void_stats(_clean_triples(spark, sf_dir))
+
+
+def _kg_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-corpus profile per conversation (pipeline/audit.conv_stats):
+    turn/role/JSON-bearing counts, text volume, duration and max
+    inter-turn gap — the first report any transcript-ingest pipeline
+    publishes. Window + groupBy share the conv_id partitioning: one
+    shuffle total. Oracle: the same statistics in DuckDB window SQL over
+    the golden transcripts."""
+    from json_ld_spark.pipeline.audit import conv_stats
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    return conv_stats(synth_transcripts(spark, sf_dir))
+
+
+def _kg_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style conjunctive query over the extracted KG
+    (operators/bgp.bgp_match): the friend-of-friend-with-names BGP
+    { ?a schema:knows ?b . ?a schema:name ?a_name .
+      ?b schema:name ?b_name } — one path join (?b) and one star join
+    (?a), each triple pattern a predicate-pushed scan. DISTINCT bindings
+    per SPARQL set semantics. Oracle: the same pattern as a DuckDB
+    three-way self-join over the golden triples — an independent engine's
+    join answer, not a plan mirror."""
+    from json_ld_spark.operators.bgp import bgp_match
+
+    return bgp_match(
+        _clean_triples(spark, sf_dir),
+        [
+            ("?a", "http://schema.org/knows", "?b"),
+            ("?a", "http://schema.org/name", "?a_name"),
+            ("?b", "http://schema.org/name", "?b_name"),
+        ],
+        obj_kinds=["iri", "literal", "literal"],
+    ).select("a", "a_name", "b", "b_name").orderBy(
+        "a", "a_name", "b", "b_name"
+    )
+
+
+def _train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic clustering over the embedding corpus
+    (operators/training.kmeans_clusters): Lloyd's k-means in integer
+    fixed-point — bit-exact regardless of partitioning, so the curation
+    run is replayable. k=8, 4 iterations, init = 8 smallest vec_ids.
+    Oracle: plain-numpy mirror golden (tools/make_golden.write_kmeans),
+    independent of the Spark plumbing."""
+    from json_ld_spark.operators.training import kmeans_clusters
+
+    return kmeans_clusters(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=4
+    )
+
+
 def _kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-mention edges (operators/graph.comention_pairs): top-50
     unordered entity-IRI pairs by number of turns mentioning both, with
@@ -1253,6 +1316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _kg_triangles,
         "kg_comention": _kg_comention,
         "kg_integrity": _kg_integrity,
+        "kg_void_stats": _kg_void_stats,
+        "kg_conv_stats": _kg_conv_stats,
+        "kg_bgp_query": _kg_bgp_query,
         "text_length_quantiles": _text_length_quantiles,
         "kg_mentions": _kg_mentions,
         "kg_hub_entities": _kg_hub_entities,
@@ -1298,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_pack_chunks": _train_pack,
         "train_neardup_clusters": _train_clusters,
         "train_curate": _train_curate,
+        "train_kmeans": _train_kmeans,
         # multimodal plumbing (decode stubbed; plan/schema real)
         "mm_features": _mm_features,
         "mm_decode_stats": _mm_decode_stats,
@@ -1489,6 +1556,64 @@ def oracle_sql() -> dict[str, str]:
             "AS self_loops, "
             "(SELECT count(*) FROM eg WHERE src_canon IS NULL OR pred IS NULL "
             "OR dst_canon IS NULL)::BIGINT AS null_keys"
+        ),
+        "kg_void_stats": (
+            "SELECT pred, count(*)::BIGINT AS n_triples, "
+            "count(DISTINCT subj)::BIGINT AS n_subjects, "
+            "count(DISTINCT obj_value)::BIGINT AS n_objects, "
+            "sum(CASE WHEN obj_kind = 'literal' THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_literal, "
+            "sum(CASE WHEN obj_kind = 'iri' THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_iri, "
+            "sum(CASE WHEN obj_kind = 'bnode' THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_bnode, "
+            "sum(CASE WHEN obj_type IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_typed, "
+            "sum(CASE WHEN obj_lang IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_lang "
+            f"FROM {_G_TRIPLES} WHERE error_code IS NULL "
+            "GROUP BY pred ORDER BY pred"
+        ),
+        "kg_conv_stats": (
+            # epoch() is UTC-based and Spark's unix_timestamp is
+            # session-tz-based, but only DIFFERENCES survive into the
+            # output (duration, gap), so the offset cancels
+            "WITH g AS (SELECT conv_id, role, text, "
+            "epoch(ts)::BIGINT AS tse, "
+            "epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx) AS gap_s "
+            f"FROM {_G_TRANSCRIPTS}) "
+            "SELECT conv_id, count(*)::BIGINT AS n_turns, "
+            "sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_user, "
+            "sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_assistant, "
+            "sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_tool, "
+            "sum(CASE WHEN contains(text, '<jsonld>') THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_json_turns, "
+            "sum(length(text))::BIGINT AS text_chars, "
+            "(max(tse) - min(tse))::BIGINT AS duration_s, "
+            "max(gap_s)::BIGINT AS max_gap_s "
+            "FROM g GROUP BY conv_id ORDER BY conv_id"
+        ),
+        "kg_bgp_query": (
+            # independent engine's own join answer for the same BGP —
+            # DuckDB picks its plan, we pick ours
+            "WITH t AS (SELECT subj, pred, obj_kind, obj_value "
+            f"FROM {_G_TRIPLES} WHERE error_code IS NULL) "
+            "SELECT DISTINCT k.subj AS a, an.obj_value AS a_name, "
+            "k.obj_value AS b, bn.obj_value AS b_name "
+            "FROM t k "
+            "JOIN t an ON an.subj = k.subj "
+            "AND an.pred = 'http://schema.org/name' "
+            "AND an.obj_kind = 'literal' "
+            "JOIN t bn ON bn.subj = k.obj_value "
+            "AND bn.pred = 'http://schema.org/name' "
+            "AND bn.obj_kind = 'literal' "
+            "WHERE k.pred = 'http://schema.org/knows' "
+            "AND k.obj_kind = 'iri' "
+            "ORDER BY a, a_name, b, b_name"
         ),
         "kg_comention": (
             "WITH base AS (SELECT conv_id, turn_idx, subj, obj_kind, "
@@ -1936,6 +2061,13 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN dec d USING (doc_id)) "
             "SELECT doc_id, reject_reason IS NULL AS keep, reject_reason "
             "FROM v ORDER BY doc_id"
+        ),
+        "train_kmeans": (
+            # plain-numpy Lloyd's mirror (tools/make_golden.write_kmeans)
+            # — integer fixed-point makes the comparison bit-exact
+            "SELECT vec_id, cluster, dist2 "
+            f"FROM read_parquet('{_GOLDEN}/kmeans.parquet') "
+            "ORDER BY vec_id"
         ),
         "text_repetition": (
             # word 2-grams; top-gram tie-break ORDER BY c DESC, gram DESC

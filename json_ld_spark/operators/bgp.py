@@ -1,0 +1,146 @@
+"""SPARQL-style basic graph pattern (BGP) matching over the triple table.
+
+The reference library stops at algorithm level (expand/compact produce the
+triples; it never ships a query engine — /root/reference/src/lib.rs:1-40
+scopes the crate to the processing algorithms), but the first thing a user
+does with a materialized KG is ask conjunctive queries over it.  This
+module is the Spark-first answer: a basic graph pattern — the conjunctive
+core of SPARQL 1.1 §5.1 — compiles to a chain of DataFrame equi-joins that
+Catalyst is free to reorder, broadcast, or AQE-replan.
+
+Pattern language
+----------------
+A pattern is a ``(s, p, o)`` string triple.  A term starting with ``?`` is
+a variable; anything else is a constant matched exactly against the
+``subj`` / ``pred`` / ``obj_value`` columns.  Each pattern may carry an
+optional ``obj_kind`` restriction (``iri`` / ``literal`` / ``bnode``) —
+SPARQL distinguishes IRIs from literals at the syntax level; here it is an
+explicit filter.
+
+Execution model (why this scales)
+---------------------------------
+Each triple pattern becomes one *filtered scan* of the triple table — the
+constant positions (almost always ``pred``) push down to the parquet
+reader as ``PushedFilters``, so a pattern touches only its predicate's
+row-groups (and only 3 columns survive pruning).  Patterns then fold
+together with inner equi-joins on their shared variables:
+
+- a *star* join (patterns sharing the subject variable) shuffles every
+  branch on the same key, so AQE coalesces them into one exchange reuse;
+- a *path* join (object of one = subject of the next) is the classic
+  subject-object shuffle;
+- selective patterns (rare predicate) come out tiny and AQE demotes their
+  join to broadcast at runtime — exactly the plan a SPARQL engine's
+  cardinality estimator hand-builds, for free.
+
+Patterns with no variable shared with the accumulated bindings are
+rejected rather than cross-joined: at 10^12 triples an accidental
+Cartesian product is a job-killer, and SPARQL engines treat disconnected
+BGPs as separate queries anyway.
+
+Duplicate-binding semantics follow SPARQL set semantics per solution
+mapping: ``bgp_match`` returns DISTINCT variable bindings (the triple
+table itself is already exact-deduped by the extraction kernel, but two
+different turns can assert the same triple).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Pattern = Tuple[str, str, str]
+
+_POS_COLS = ("subj", "pred", "obj_value")
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def _pattern_df(
+    triples: DataFrame, pat: Pattern, obj_kind: Optional[str]
+) -> Tuple[DataFrame, set]:
+    """One filtered, pruned scan per pattern: constants filter, variables
+    project to their binding name."""
+    cond = F.lit(True)
+    proj = []
+    vars_here = set()
+    for term, col in zip(pat, _POS_COLS):
+        if _is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError("empty variable name in pattern")
+            # one pattern reusing a variable twice (e.g. (?x, p, ?x)) is a
+            # self-equality filter, not two bindings
+            if name in vars_here:
+                proj.append((col, None, name))
+            else:
+                vars_here.add(name)
+                proj.append((col, name, None))
+        else:
+            cond = cond & (F.col(col) == F.lit(term))
+    if obj_kind is not None:
+        cond = cond & (F.col("obj_kind") == F.lit(obj_kind))
+    df = triples.where(cond)
+    out = []
+    for col, alias, eq_var in proj:
+        if alias is not None:
+            out.append(F.col(col).alias(alias))
+        else:
+            df = df.where(F.col(col) == F.col(_first_col(proj, eq_var)))
+    if not out:
+        raise ValueError(f"pattern {pat} binds no variables")
+    return df.select(*out), vars_here
+
+
+def _first_col(proj, var_name: str) -> str:
+    for col, alias, _ in proj:
+        if alias == var_name:
+            return col
+    raise ValueError(f"repeated variable ?{var_name} never bound")
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    obj_kinds: Optional[Sequence[Optional[str]]] = None,
+) -> DataFrame:
+    """Match a conjunctive basic graph pattern; return DISTINCT bindings.
+
+    ``triples`` needs columns (subj, pred, obj_kind, obj_value).  Output
+    has one column per distinct variable.  Patterns must be connected
+    through shared variables (no Cartesian products — see module doc).
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    if obj_kinds is None:
+        obj_kinds = [None] * len(patterns)
+    if len(obj_kinds) != len(patterns):
+        raise ValueError("obj_kinds must parallel patterns")
+
+    # connectivity-greedy fold: always join a pattern that shares a
+    # variable with the bindings accumulated so far (Catalyst then
+    # reorders freely inside the join tree it is handed)
+    pending = list(zip(patterns, obj_kinds))
+    acc: Optional[DataFrame] = None
+    bound: set = set()
+    while pending:
+        for i, (pat, kind) in enumerate(pending):
+            df, vars_here = _pattern_df(triples, pat, kind)
+            if acc is None or (vars_here & bound):
+                pending.pop(i)
+                if acc is None:
+                    acc = df
+                else:
+                    acc = acc.join(df, on=sorted(vars_here & bound), how="inner")
+                bound |= vars_here
+                break
+        else:
+            raise ValueError(
+                "disconnected BGP: remaining patterns share no variable "
+                f"with bound set {sorted(bound)}"
+            )
+    return acc.distinct()

@@ -240,3 +240,105 @@ def curate(
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
     ).orderBy("doc_id")
+
+
+def kmeans_clusters(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    scale: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means topic clustering over an embedding column —
+    Lloyd's algorithm in integer fixed-point, the same bit-exactness trick
+    as operators/graph.pagerank_fixed_point.
+
+    Floating-point k-means is order-nondeterministic (the centroid mean
+    depends on partition reduce order), which breaks replayable curation
+    runs and makes an independent oracle impossible.  Instead every vector
+    quantizes once to int64 (``floor(v * scale + 0.5)`` — exact in binary
+    FP for power-of-two scales, identical in numpy), centroid updates are
+    exact integer sums + floor division (associative/commutative, so ANY
+    shuffle order yields the same centroid), and the assignment argmin
+    tie-breaks on cluster index.  Result: bit-identical output on 1 core
+    or 1000, verifiable against a plain-numpy mirror.
+
+    Plan shape per iteration: one map-side projection computing k integer
+    distances JVM-side (``aggregate`` over ``zip_with`` — no Python), one
+    posexplode + groupBy(cluster, pos) partial-agg shuffle of k*dim*2
+    longs per partition, and a k*dim-row collect to rebuild the centroid
+    literals (bounded: 8*64 longs).  The quantized input localCheckpoints
+    once so ``iters`` passes re-scan memory, not the source.  Empty
+    clusters keep their previous centroid.  Init: the k lexicographically
+    smallest ``id_col`` rows (deterministic, broadcast-sized).
+
+    Output: (vec_id, cluster INT, dist2 BIGINT) ordered by id.
+    """
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * scale + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("xq"),
+    ).localCheckpoint()
+
+    init = q.orderBy("vec_id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(init)}")
+    centroids = [list(r.xq) for r in init]
+
+    def assign(df: DataFrame) -> DataFrame:
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("xq"),
+                    F.array(*[F.lit(int(c)) for c in centroids[j]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for j in range(k)
+        ]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        dists[j].alias("d"), F.lit(j).cast("int").alias("j")
+                    )
+                    for j in range(k)
+                ]
+            )
+        )
+        return df.withColumn("best", best)
+
+    dim = len(centroids[0])
+    for _ in range(iters):
+        sums = (
+            assign(q)
+            .select(F.col("best.j").alias("cluster"), F.posexplode("xq"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("col").alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cluster = {}
+        for r in sums:
+            by_cluster.setdefault(r.cluster, [None] * dim)[r.pos] = (r.s, r.n)
+        for j in range(k):
+            comps = by_cluster.get(j)
+            if comps is None:
+                continue  # empty cluster keeps its previous centroid
+            centroids[j] = [s // n for (s, n) in comps]
+
+    out = assign(q).select(
+        "vec_id",
+        F.col("best.j").alias("cluster"),
+        F.col("best.d").alias("dist2"),
+    )
+    return out.orderBy("vec_id")

@@ -13,11 +13,27 @@ hash anti-joins over the persisted tables, and the final assembly is a
 cross join of eight single-row aggregates (one row each, so the cross
 join is free). At 10^12 edges this is a handful of bounded shuffles,
 run against persisted tables, no driver-side data.
+
+``void_stats`` — the W3C VoID-vocabulary dataset description per
+predicate (void:triples / void:distinctSubjects / void:distinctObjects
+plus the literal/IRI/bnode and typed/language splits): the one-page
+profile a KG publisher ships next to the dataset, and the statistics a
+query planner's cardinality estimator reads.  One groupBy(pred) with two
+countDistinct — Catalyst plans the multi-distinct as a single Expand +
+two-stage aggregate, partial map-side combine included, so cost is one
+widened shuffle regardless of corpus size.
+
+``conv_stats`` — input-side corpus profile over the raw transcript
+table: per-conversation turn/role/JSON-bearing counts, text volume, and
+timing (duration, max inter-turn gap).  The window (lag over conv_id
+ordered by turn_idx) and the groupBy share the same partitioning key, so
+the whole profile is ONE shuffle on conv_id; at 10^12 turns that is the
+minimum possible for any per-conversation statistic.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,4 +107,71 @@ def kg_integrity(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 "dangling_dst", "orphan_nodes", "self_loops", "null_keys",
             )
         ]
+    )
+
+
+def void_stats(triples: DataFrame) -> DataFrame:
+    """Per-predicate VoID dataset statistics (see module doc).
+
+    Input needs (subj, pred, obj_kind, obj_value, obj_type, obj_lang);
+    output one row per predicate, all counts BIGINT, ordered by pred.
+    """
+    c = F.count("*").cast("long")
+    kind = F.col("obj_kind")
+    return (
+        triples.groupBy("pred")
+        .agg(
+            c.alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subjects"),
+            F.countDistinct("obj_value").cast("long").alias("n_objects"),
+            F.sum((kind == "literal").cast("long"))
+            .cast("long")
+            .alias("n_literal"),
+            F.sum((kind == "iri").cast("long")).cast("long").alias("n_iri"),
+            F.sum((kind == "bnode").cast("long")).cast("long").alias("n_bnode"),
+            F.sum(F.col("obj_type").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_typed"),
+            F.sum(F.col("obj_lang").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_lang"),
+        )
+        .orderBy("pred")
+    )
+
+
+def conv_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation corpus profile (see module doc).
+
+    Input is the north-rule transcript shape (conv_id, turn_idx, role,
+    text, tool, ts); output one row per conv_id ordered by conv_id with
+    turn/role/JSON counts, total text chars, and second-granularity
+    duration + max inter-turn gap (BIGINT — exact, no float drift
+    between engines).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_gap = transcripts.withColumn("gap_s", gap)
+    role = F.col("role")
+    return (
+        with_gap.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum((role == "user").cast("long")).cast("long").alias("n_user"),
+            F.sum((role == "assistant").cast("long"))
+            .cast("long")
+            .alias("n_assistant"),
+            F.sum((role == "tool").cast("long")).cast("long").alias("n_tool"),
+            F.sum(F.col("text").contains("<jsonld>").cast("long"))
+            .cast("long")
+            .alias("n_json_turns"),
+            F.sum(F.length("text").cast("long"))
+            .cast("long")
+            .alias("text_chars"),
+            (
+                F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+            ).cast("long").alias("duration_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("conv_id")
     )

@@ -170,3 +170,75 @@ def test_curate_reject_precedence_and_coverage(spark):
     assert out[4].reject_reason == "too_repetitive"
     assert out[5].keep and out[5].reject_reason is None
     assert out[6].reject_reason == "non_english"
+
+
+def _kmeans_fixture(spark, n=48, dim=6):
+    """Deterministic small embedding set with 3 obvious blobs."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = np.array(
+        [[1.0] * dim, [-1.0] * dim, [1.0, -1.0] * (dim // 2)]
+    )
+    x = np.concatenate(
+        [c + 0.05 * rng.randn(n // 3, dim) for c in centers]
+    ).astype(np.float32)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, x
+
+
+def _kmeans_numpy(x, k, iters, scale=1 << 20):
+    """Inline mirror of the integer fixed-point spec (independent of both
+    the operator and tools/make_golden)."""
+    import numpy as np
+
+    xq = np.floor(x.astype(np.float64) * scale + 0.5).astype(np.int64)
+    c = xq[:k].copy()
+
+    def assign(c):
+        d = ((xq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        j = d.argmin(axis=1)
+        return j, d[np.arange(len(xq)), j]
+
+    for _ in range(iters):
+        j, _ = assign(c)
+        for i in range(k):
+            m = xq[j == i]
+            if len(m):
+                c[i] = m.sum(axis=0) // len(m)
+    return assign(c)
+
+
+def test_kmeans_matches_integer_lloyd_spec(spark):
+    from json_ld_spark.operators.training import kmeans_clusters
+
+    df, x = _kmeans_fixture(spark)
+    got = kmeans_clusters(df, k=3, iters=3).collect()
+    j, d2 = _kmeans_numpy(x, k=3, iters=3)
+    assert [(r.vec_id, r.cluster, r.dist2) for r in got] == [
+        (i, int(j[i]), int(d2[i])) for i in range(len(x))
+    ]
+    # the blobs are separated enough that Lloyd's must recover them
+    assert len({r.cluster for r in got}) == 3
+
+
+def test_kmeans_partitioning_invariant(spark):
+    """Integer arithmetic makes the result bit-identical under any
+    partitioning — the property float k-means cannot give."""
+    from json_ld_spark.operators.training import kmeans_clusters
+
+    df, _ = _kmeans_fixture(spark)
+    a = kmeans_clusters(df.coalesce(1), k=3, iters=2).collect()
+    b = kmeans_clusters(df.repartition(16), k=3, iters=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_kmeans_requires_k_vectors(spark):
+    import pytest
+
+    from json_ld_spark.operators.training import kmeans_clusters
+
+    df, _ = _kmeans_fixture(spark, n=6)
+    with pytest.raises(ValueError, match="need >= 8"):
+        kmeans_clusters(df, k=8)

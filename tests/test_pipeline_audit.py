@@ -56,3 +56,57 @@ def test_kg_integrity_clean_graph_all_zero(spark):
             "orphan_nodes", "self_loops", "null_keys",
         )
     )
+
+
+def test_void_stats_counts(spark):
+    from json_ld_spark.pipeline.audit import void_stats
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p1", "iri", "o1", None, None),
+            ("s1", "p1", "iri", "o2", None, None),
+            ("s2", "p1", "literal", "hello", "http://t", None),
+            ("s2", "p1", "literal", "bonjour", None, "fr"),
+            ("s3", "p2", "bnode", "_:b0", None, None),
+        ],
+        "subj string, pred string, obj_kind string, obj_value string, "
+        "obj_type string, obj_lang string",
+    )
+    rows = {r.pred: r.asDict() for r in void_stats(triples).collect()}
+    assert rows["p1"] == {
+        "pred": "p1", "n_triples": 4, "n_subjects": 2, "n_objects": 4,
+        "n_literal": 2, "n_iri": 2, "n_bnode": 0, "n_typed": 1, "n_lang": 1,
+    }
+    assert rows["p2"]["n_bnode"] == 1 and rows["p2"]["n_triples"] == 1
+
+
+def test_conv_stats_profile(spark):
+    import datetime as dt
+
+    from json_ld_spark.pipeline.audit import conv_stats
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    tr = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi", "", ts(0)),
+            ("c1", 1, "assistant", "yo <jsonld>{}</jsonld>", "", ts(10)),
+            ("c1", 2, "tool", "result", "t", ts(70)),
+            ("c2", 0, "user", "solo", "", ts(0)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    rows = {r.conv_id: r.asDict() for r in conv_stats(tr).collect()}
+    c1 = rows["c1"]
+    assert c1["n_turns"] == 3 and c1["n_user"] == 1
+    assert c1["n_assistant"] == 1 and c1["n_tool"] == 1
+    assert c1["n_json_turns"] == 1
+    assert c1["text_chars"] == len("hi") + len("yo <jsonld>{}</jsonld>") + len("result")
+    assert c1["duration_s"] == 70 and c1["max_gap_s"] == 60
+    c2 = rows["c2"]
+    assert c2["n_turns"] == 1 and c2["duration_s"] == 0
+    assert c2["max_gap_s"] is None  # no second turn, no gap

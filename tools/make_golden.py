@@ -1107,6 +1107,55 @@ def write_pagerank(out_dir: str, n_iters: int = 10) -> None:
     print(f"wrote pagerank: {len(top)} rows (graph: {n} nodes, {len(pairs)} edges)")
 
 
+# -------------------------------------------------------------- kmeans
+
+def write_kmeans(
+    emb: pd.DataFrame, out_dir: str, k: int = 8, iters: int = 4
+) -> None:
+    """Plain-numpy mirror of operators/training.kmeans_clusters (integer
+    fixed-point Lloyd's: quantize floor(v*2^20+0.5), exact int64 centroid
+    sums with floor division, argmin tie-break on smallest cluster index).
+    Independent of the Spark plumbing — only the algorithm spec is shared,
+    exactly like the pagerank mirror above."""
+    scale = 1 << 20
+    order = np.argsort(emb["vec_id"].to_numpy())
+    ids = emb["vec_id"].to_numpy()[order]
+    x = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in emb["embedding"].to_numpy()]
+    )[order]
+    xq = np.floor(x * scale + 0.5).astype(np.int64)
+    centroids = xq[:k].copy()
+
+    def assign(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # (n, k) integer squared distances; argmin takes the first (=
+        # smallest index) minimum, matching the Spark struct-min tie-break
+        d = ((xq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        j = d.argmin(axis=1)
+        return j, d[np.arange(len(xq)), j]
+
+    for _ in range(iters):
+        j, _ = assign(centroids)
+        for c in range(k):
+            members = xq[j == c]
+            if len(members):
+                centroids[c] = members.sum(axis=0) // len(members)
+
+    j, d2 = assign(centroids)
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array(ids.tolist(), type=pa.int64()),
+                pa.array(j.astype(np.int32).tolist(), type=pa.int32()),
+                pa.array(d2.tolist(), type=pa.int64()),
+            ],
+            names=["vec_id", "cluster", "dist2"],
+        ),
+        os.path.join(out_dir, "kmeans.parquet"),
+    )
+    sizes = np.bincount(j, minlength=k).tolist()
+    print(f"wrote kmeans: {len(ids)} rows, cluster sizes {sizes}")
+
+
 # ------------------------------------------------------------ framed entities
 
 def write_framed_entities(transcripts: pd.DataFrame, out_dir: str) -> None:
@@ -1663,6 +1712,7 @@ def main() -> int:
     write_sim_lsh_probe(emb, out_dir)
     write_sim_ivf(emb, out_dir)
     write_dedup_embedding_lsh(emb, out_dir)
+    write_kmeans(emb, out_dir)
     write_mm_features(out_dir)
     write_mm_decode_stats(out_dir)
     print(f"golden dir: {out_dir}")
