@@ -252,11 +252,16 @@ def _kg_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (?a), each triple pattern a predicate-pushed scan. DISTINCT bindings
     per SPARQL set semantics. Oracle: the same pattern as a DuckDB
     three-way self-join over the golden triples — an independent engine's
-    join answer, not a plan mirror."""
+    join answer, not a plan mirror.
+
+    The extraction lineage is localCheckpoint'd first: a BGP scans the
+    triple table once per pattern, and in production those scans hit a
+    persisted table — without the checkpoint the bench would re-run
+    extraction per pattern (measured 70s -> ~8s at sf0.1)."""
     from json_ld_spark.operators.bgp import bgp_match
 
     return bgp_match(
-        _clean_triples(spark, sf_dir),
+        _clean_triples(spark, sf_dir).localCheckpoint(),
         [
             ("?a", "http://schema.org/knows", "?b"),
             ("?a", "http://schema.org/name", "?a_name"),
