@@ -273,6 +273,92 @@ def _kg_bgp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the extracted KG (operators/bgp.bgp_match
+    optional_groups): { ?a schema:knows ?b OPTIONAL { ?b schema:name
+    ?b_name } } — solutions where the acquaintance has no extracted name
+    survive with NULL, per SPARQL 1.1 §6 leftjoin semantics.  Physically
+    one left equi-join over per-pattern DISTINCT binding sets.  Oracle:
+    DuckDB's own LEFT JOIN answer for the same pattern."""
+    from json_ld_spark.operators.bgp import bgp_match
+
+    return bgp_match(
+        _clean_triples(spark, sf_dir).localCheckpoint(),
+        [("?a", "http://schema.org/knows", "?b")],
+        obj_kinds=["iri"],
+        optional_groups=[[("?b", "http://schema.org/name", "?b_name")]],
+        optional_obj_kinds=[["literal"]],
+    ).orderBy("a", "b", F.col("b_name").asc_nulls_first())
+
+
+_SHACL_SHAPES = [
+    {
+        "shape": "PersonShape",
+        "target_subjects_of": "http://schema.org/knows",
+        "properties": [
+            {
+                "path": "http://schema.org/name",
+                "min_count": 1,
+                "max_count": 1,
+                "node_kind": "literal",
+                "datatype": "http://www.w3.org/2001/XMLSchema#string",
+            },
+            {
+                "path": "http://schema.org/knows",
+                "max_count": 3,
+                "node_kind": "iri",
+            },
+        ],
+    },
+    {
+        "shape": "ItemShape",
+        "target_subjects_of": "http://ex.org/label",
+        "properties": [
+            {
+                "path": "http://ex.org/label",
+                "min_count": 1,
+                "datatype": "http://www.w3.org/2001/XMLSchema#string",
+            },
+            {"path": "http://ex.org/tags", "max_count": 2},
+            {"path": "http://ex.org/ref", "min_count": 1, "node_kind": "iri"},
+        ],
+    },
+]
+
+
+def _kg_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation report (operators/shacl.shacl_validate):
+    PersonShape (targetSubjectsOf schema:knows — name required, unique,
+    xsd:string; ≤3 acquaintances) + ItemShape (targetSubjectsOf ex:label
+    — label required but declared xsd:string while the corpus emits
+    language-tagged literals, so the datatype check fires; tags ≤2 under
+    SET value-node semantics; ref required IRI).  Violations for
+    minCount (missing names), maxCount (hub over-degree) and datatype
+    (langString vs declared) all fire; nodeKind paths conform — the
+    report proves both directions.  Oracle: the same SHACL core
+    semantics as generic DuckDB SQL over a constraint VALUES table."""
+    from json_ld_spark.operators.shacl import shacl_validate
+
+    return shacl_validate(
+        _clean_triples(spark, sf_dir).localCheckpoint(), _SHACL_SHAPES
+    ).orderBy("shape", "focus", "path", "constraint")
+
+
+def _text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword relevance sweep (operators/search.bm25_topk): top-50
+    documents for the query {merge, window, scan} under fixed-point
+    BM25 (rational idf — see module doc for the bit-exactness argument).
+    Two map-only corpus passes + TakeOrdered; the only driver-side data
+    is one bounded stats row.  Oracle: the same integer formula in
+    DuckDB SQL (list_filter + integer division) — every op is 64-bit
+    integer arithmetic, so the engines agree bit-for-bit."""
+    from json_ld_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["merge", "window", "scan"], k=50
+    )
+
+
 def _train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic clustering over the embedding corpus
     (operators/training.kmeans_clusters): Lloyd's k-means in integer
@@ -1324,6 +1410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_stats": _kg_void_stats,
         "kg_conv_stats": _kg_conv_stats,
         "kg_bgp_query": _kg_bgp_query,
+        "kg_bgp_optional": _kg_bgp_optional,
+        "kg_shacl_report": _kg_shacl_report,
+        "text_bm25": _text_bm25,
         "text_length_quantiles": _text_length_quantiles,
         "kg_mentions": _kg_mentions,
         "kg_hub_entities": _kg_hub_entities,
@@ -1619,6 +1708,124 @@ def oracle_sql() -> dict[str, str]:
             "WHERE k.pred = 'http://schema.org/knows' "
             "AND k.obj_kind = 'iri' "
             "ORDER BY a, a_name, b, b_name"
+        ),
+        "kg_bgp_optional": (
+            # the independent engine's own LEFT JOIN answer for the same
+            # OPTIONAL pattern (SPARQL leftjoin == SQL left outer join
+            # over distinct binding sets)
+            "WITH t AS (SELECT DISTINCT subj, pred, obj_kind, obj_value "
+            f"FROM {_G_TRIPLES} WHERE error_code IS NULL) "
+            "SELECT DISTINCT k.subj AS a, k.obj_value AS b, "
+            "bn.obj_value AS b_name "
+            "FROM t k LEFT JOIN t bn ON bn.subj = k.obj_value "
+            "AND bn.pred = 'http://schema.org/name' "
+            "AND bn.obj_kind = 'literal' "
+            "WHERE k.pred = 'http://schema.org/knows' "
+            "AND k.obj_kind = 'iri' "
+            "ORDER BY a, b, b_name"
+        ),
+        "kg_shacl_report": (
+            # generic SHACL-lite core in SQL over a constraint VALUES
+            # table: SET value-node semantics (DISTINCT object tuples),
+            # RDF 1.1 effective datatype, minCount/maxCount/nodeKind/
+            # datatype emission — DuckDB evaluates the spec on its own
+            "WITH t AS (SELECT subj, pred, obj_kind, obj_value, obj_type, "
+            f"obj_lang FROM {_G_TRIPLES} WHERE error_code IS NULL), "
+            "props(shape, path, minc, maxc, kind, dtype) AS (VALUES "
+            "('PersonShape', 'http://schema.org/name', 1, 1, 'literal', "
+            "'http://www.w3.org/2001/XMLSchema#string'), "
+            "('PersonShape', 'http://schema.org/knows', NULL, 3, 'iri', "
+            "NULL), "
+            "('ItemShape', 'http://ex.org/label', 1, NULL, NULL, "
+            "'http://www.w3.org/2001/XMLSchema#string'), "
+            "('ItemShape', 'http://ex.org/tags', NULL, 2, NULL, NULL), "
+            "('ItemShape', 'http://ex.org/ref', 1, NULL, 'iri', NULL)), "
+            "shapes(shape, tgt) AS (VALUES "
+            "('PersonShape', 'http://schema.org/knows'), "
+            "('ItemShape', 'http://ex.org/label')), "
+            "targets AS (SELECT DISTINCT s.shape, t.subj AS focus "
+            "FROM t JOIN shapes s ON t.pred = s.tgt), "
+            "vals AS (SELECT DISTINCT subj AS focus, pred AS path, "
+            "obj_kind, obj_value, obj_type, obj_lang FROM t), "
+            "scoped AS (SELECT p.shape, v.focus, v.path, v.obj_kind, "
+            "v.obj_type, v.obj_lang, p.kind, p.dtype "
+            "FROM vals v JOIN props p ON v.path = p.path), "
+            "per AS (SELECT shape, focus, path, count(*) AS n, "
+            "sum(CASE WHEN kind IS NOT NULL AND obj_kind <> kind "
+            "THEN 1 ELSE 0 END) AS bad_kind, "
+            "sum(CASE WHEN dtype IS NOT NULL AND (obj_kind <> 'literal' "
+            "OR coalesce(obj_type, CASE WHEN obj_lang IS NOT NULL THEN "
+            "'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' END, "
+            "'http://www.w3.org/2001/XMLSchema#string') <> dtype) "
+            "THEN 1 ELSE 0 END) AS bad_dtype "
+            "FROM scoped GROUP BY shape, focus, path), "
+            "grid AS (SELECT tg.shape, tg.focus, p.path, p.minc, p.maxc, "
+            "p.kind, p.dtype FROM targets tg JOIN props p "
+            "ON p.shape = tg.shape), "
+            "fullj AS (SELECT g.shape, g.focus, g.path, g.minc, g.maxc, "
+            "g.kind, g.dtype, coalesce(per.n, 0) AS n, "
+            "coalesce(per.bad_kind, 0) AS bad_kind, "
+            "coalesce(per.bad_dtype, 0) AS bad_dtype "
+            "FROM grid g LEFT JOIN per ON per.shape = g.shape "
+            "AND per.focus = g.focus AND per.path = g.path) "
+            'SELECT shape, focus, path, "constraint", expected, '
+            "actual::BIGINT AS actual FROM ("
+            "SELECT shape, focus, path, 'minCount' AS \"constraint\", "
+            "'>=' || minc AS expected, n AS actual FROM fullj "
+            "WHERE minc IS NOT NULL AND n < minc "
+            "UNION ALL SELECT shape, focus, path, 'maxCount', "
+            "'<=' || maxc, n FROM fullj WHERE maxc IS NOT NULL "
+            "AND n > maxc "
+            "UNION ALL SELECT shape, focus, path, 'nodeKind', kind, "
+            "bad_kind FROM fullj WHERE bad_kind > 0 "
+            "UNION ALL SELECT shape, focus, path, 'datatype', dtype, "
+            "bad_dtype FROM fullj WHERE bad_dtype > 0) "
+            'ORDER BY shape, focus, path, "constraint"'
+        ),
+        "text_bm25": (
+            # the same scaled-integer BM25 formula evaluated by DuckDB's
+            # list/lambda machinery — all 64-bit integer arithmetic, so
+            # the comparison is bit-exact (see operators/search.py)
+            "WITH tf AS (SELECT doc_id, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT "
+            "AS dl, "
+            "len(list_filter(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+'), x -> x = 'merge'))::BIGINT AS tf_0, "
+            "len(list_filter(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+'), x -> x = 'window'))::BIGINT AS tf_1, "
+            "len(list_filter(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+'), x -> x = 'scan'))::BIGINT AS tf_2 "
+            "FROM documents), "
+            "stats AS (SELECT count(*)::BIGINT AS n_docs, "
+            "sum(dl)::BIGINT AS sum_dl, "
+            "sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_0, "
+            "sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_1, "
+            "sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df_2 "
+            "FROM tf), "
+            "params AS (SELECT n_docs, "
+            "(sum_dl * 1000000) // n_docs AS avgdl_s, "
+            "(n_docs * 1000000) // df_0 AS idf_0, "
+            "(n_docs * 1000000) // df_1 AS idf_1, "
+            "(n_docs * 1000000) // df_2 AS idf_2 FROM stats), "
+            "scored AS (SELECT doc_id, "
+            "(CASE WHEN tf_0 > 0 THEN (((tf_0 * 1000000 * 1000000) // "
+            "(tf_0 * 1000000 + ((1200000 * (250000 + ((750000 * dl * "
+            "1000000) // avgdl_s))) // 1000000))) * idf_0) // 1000000 "
+            "ELSE 0 END "
+            "+ CASE WHEN tf_1 > 0 THEN (((tf_1 * 1000000 * 1000000) // "
+            "(tf_1 * 1000000 + ((1200000 * (250000 + ((750000 * dl * "
+            "1000000) // avgdl_s))) // 1000000))) * idf_1) // 1000000 "
+            "ELSE 0 END "
+            "+ CASE WHEN tf_2 > 0 THEN (((tf_2 * 1000000 * 1000000) // "
+            "(tf_2 * 1000000 + ((1200000 * (250000 + ((750000 * dl * "
+            "1000000) // avgdl_s))) // 1000000))) * idf_2) // 1000000 "
+            "ELSE 0 END)::BIGINT AS score_s, "
+            "((tf_0 > 0)::BIGINT + (tf_1 > 0)::BIGINT + "
+            "(tf_2 > 0)::BIGINT)::BIGINT AS n_terms "
+            "FROM tf, params) "
+            "SELECT doc_id, score_s, n_terms FROM scored "
+            "WHERE score_s > 0 "
+            "ORDER BY score_s DESC, doc_id ASC LIMIT 50"
         ),
         "kg_comention": (
             "WITH base AS (SELECT conv_id, turn_idx, subj, obj_kind, "

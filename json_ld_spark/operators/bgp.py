@@ -113,27 +113,15 @@ def _first_col(proj, var_name: str) -> str:
     raise ValueError(f"repeated variable ?{var_name} never bound")
 
 
-def bgp_match(
+def _fold(
     triples: DataFrame,
     patterns: Sequence[Pattern],
-    obj_kinds: Optional[Sequence[Optional[str]]] = None,
-) -> DataFrame:
-    """Match a conjunctive basic graph pattern; return DISTINCT bindings.
-
-    ``triples`` needs columns (subj, pred, obj_kind, obj_value).  Output
-    has one column per distinct variable.  Patterns must be connected
-    through shared variables (no Cartesian products — see module doc).
-    """
-    if not patterns:
-        raise ValueError("empty basic graph pattern")
-    if obj_kinds is None:
-        obj_kinds = [None] * len(patterns)
-    if len(obj_kinds) != len(patterns):
-        raise ValueError("obj_kinds must parallel patterns")
-
-    # connectivity-greedy fold: always join a pattern that shares a
-    # variable with the bindings accumulated so far (Catalyst then
-    # reorders freely inside the join tree it is handed)
+    obj_kinds: Sequence[Optional[str]],
+) -> Tuple[DataFrame, set]:
+    """Connectivity-greedy inner-join fold of one pattern group: always
+    join a pattern that shares a variable with the bindings accumulated so
+    far (Catalyst then reorders freely inside the join tree it is
+    handed)."""
     pending = list(zip(patterns, obj_kinds))
     acc: Optional[DataFrame] = None
     bound: set = set()
@@ -153,4 +141,54 @@ def bgp_match(
                 "disconnected BGP: remaining patterns share no variable "
                 f"with bound set {sorted(bound)}"
             )
+    return acc, bound
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    obj_kinds: Optional[Sequence[Optional[str]]] = None,
+    optional_groups: Optional[Sequence[Sequence[Pattern]]] = None,
+    optional_obj_kinds: Optional[Sequence[Sequence[Optional[str]]]] = None,
+) -> DataFrame:
+    """Match a basic graph pattern (+ OPTIONAL groups); DISTINCT bindings.
+
+    ``triples`` needs columns (subj, pred, obj_kind, obj_value).  Output
+    has one column per distinct variable.  Patterns must be connected
+    through shared variables (no Cartesian products — see module doc).
+
+    ``optional_groups`` implements SPARQL 1.1 §6 OPTIONAL for the
+    well-designed case (each group shares ≥1 variable with the required
+    part, and groups don't share variables only with each other): each
+    group folds to its own binding set, then LEFT-joins the accumulated
+    solutions — unmatched solutions survive with the group's variables
+    NULL, matched solutions multiply per optional binding, exactly
+    SPARQL's leftjoin(Ω1, Ω2) for compatible mappings.  On the physical
+    side a left join costs the same shuffle as the inner join, and
+    selective optional groups AQE-demote to broadcast.
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    if obj_kinds is None:
+        obj_kinds = [None] * len(patterns)
+    if len(obj_kinds) != len(patterns):
+        raise ValueError("obj_kinds must parallel patterns")
+
+    acc, bound = _fold(triples, patterns, obj_kinds)
+
+    optional_groups = optional_groups or []
+    if optional_obj_kinds is None:
+        optional_obj_kinds = [[None] * len(g) for g in optional_groups]
+    if len(optional_obj_kinds) != len(optional_groups):
+        raise ValueError("optional_obj_kinds must parallel optional_groups")
+    for group, kinds in zip(optional_groups, optional_obj_kinds):
+        gdf, gvars = _fold(triples, group, kinds)
+        shared = sorted(gvars & bound)
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                f"pattern (bound set {sorted(bound)})"
+            )
+        acc = acc.join(gdf, on=shared, how="left")
+        bound |= gvars
     return acc.distinct()

@@ -110,3 +110,81 @@ def test_pattern_joins_are_equi_joins(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_optional_unmatched_survives_with_null(spark):
+    from json_ld_spark.operators.bgp import bgp_match
+
+    # carol knows nobody onward; ?b name always exists here, so make the
+    # optional pattern affiliation-like: only alice has an "affil" triple
+    t = _triples(spark).union(
+        spark.createDataFrame(
+            [("alice", "affil", "iri", "acme")],
+            "subj string, pred string, obj_kind string, obj_value string",
+        )
+    )
+    out = bgp_match(
+        t,
+        [("?a", "name", "?n")],
+        obj_kinds=["literal"],
+        optional_groups=[[("?a", "affil", "?org")]],
+    )
+    got = {(r.a, r.n, r.org) for r in out.collect()}
+    assert ("alice", "Alice", "acme") in got
+    assert ("bob", "Bob", None) in got
+    assert ("carol", "Carol", None) in got
+    # OPTIONAL never drops required solutions
+    assert len(got) == 4  # alice, bob, carol, dave
+
+
+def test_optional_multiplies_per_matching_binding(spark):
+    from json_ld_spark.operators.bgp import bgp_match
+
+    t = _triples(spark).union(
+        spark.createDataFrame(
+            [("alice", "affil", "iri", "acme"), ("alice", "affil", "iri", "umbrella")],
+            "subj string, pred string, obj_kind string, obj_value string",
+        )
+    )
+    out = bgp_match(
+        t,
+        [("?a", "name", "?n")],
+        obj_kinds=["literal"],
+        optional_groups=[[("?a", "affil", "?org")]],
+    )
+    # SPARQL leftjoin: one solution per compatible optional binding
+    got = {(r.a, r.n, r.org) for r in out.collect()}
+    assert {(n, o) for a, n, o in got if a == "alice"} == {
+        ("Alice", "acme"),
+        ("Alice", "umbrella"),
+    }
+    assert ("bob", "Bob", None) in got
+
+
+def test_optional_group_is_a_joint_bgp(spark):
+    from json_ld_spark.operators.bgp import bgp_match
+
+    # the whole optional group must match together: ?b name AND ?b knows ?c
+    out = bgp_match(
+        _triples(spark),
+        [("?a", "knows", "?b")],
+        obj_kinds=["iri"],
+        optional_groups=[[("?b", "name", "?bn"), ("?b", "knows", "?c")]],
+        optional_obj_kinds=[["literal", "iri"]],
+    )
+    got = {(r.a, r.b, r.bn, r.c) for r in out.collect()}
+    # bob knows carol -> group matches for ?b=bob; carol/dave chains differ
+    assert ("alice", "bob", "Bob", "carol") in got
+    assert ("bob", "carol", None, None) in got  # carol has name but no knows
+    assert ("dave", "dave", "Dave", "dave") in got
+
+
+def test_optional_disconnected_rejected(spark):
+    from json_ld_spark.operators.bgp import bgp_match
+
+    with pytest.raises(ValueError, match="OPTIONAL group shares no variable"):
+        bgp_match(
+            _triples(spark),
+            [("?a", "knows", "?b")],
+            optional_groups=[[("?x", "name", "?y")]],
+        )
