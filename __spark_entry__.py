@@ -160,6 +160,25 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.desc("rank"), "node").limit(20)
 
 
+def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the canonical graph: 5 synchronous
+    label-propagation rounds (operators/graph.label_propagation — per
+    round one node-keyed join + two map-side-combining aggregations,
+    min-label tie-break).  The synchronous update + total tie order make
+    the result a pure function of (graph, rounds), so the oracle is a
+    plain-Python mirror over the golden edges (tools/make_golden.py),
+    bit-exact.  136 communities over 790 connected nodes at sf0.01."""
+    from json_ld_spark.operators.graph import label_propagation
+    from json_ld_spark.pipeline.entity import canonicalize
+
+    _, _, edges = canonicalize(_clean_triples(spark, sf_dir), materialize=True)
+    return label_propagation(
+        edges.select(
+            F.col("src_canon").alias("src"), F.col("dst_canon").alias("dst")
+        )
+    ).orderBy("node")
+
+
 def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree profile of the canonical graph — and the suite's full-outer
     join coverage point (source-only and sink-only nodes must both
@@ -1402,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_pagerank": _kg_pagerank,
+        "kg_communities": _kg_communities,
         "kg_degree_stats": _kg_degree_stats,
         "kg_khop": _kg_khop,
         "kg_triangles": _kg_triangles,
@@ -1620,6 +1640,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, rank "
             f"FROM read_parquet('{_GOLDEN}/pagerank.parquet') "
             "ORDER BY rank DESC, node LIMIT 20"
+        ),
+        "kg_communities": (
+            # plain-Python synchronous-LPA mirror over the golden edges
+            # (tools/make_golden.write_label_propagation)
+            "SELECT node, community "
+            f"FROM read_parquet('{_GOLDEN}/lp_communities.parquet') "
+            "ORDER BY node"
         ),
         "kg_degree_stats": (
             f"WITH o AS (SELECT src_canon AS node, count(*) AS out_degree "

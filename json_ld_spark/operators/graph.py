@@ -312,3 +312,67 @@ def comention_pairs(
         .orderBy(F.desc("pair_turns"), "a", "b")
         .limit(top_k)
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, the LPA variant GraphX ships): returns (node, community).
+
+    Every node starts labeled with its own id; each round every node
+    adopts the most frequent label among its NEIGHBORS (undirected simple
+    graph — direction, self-loops and parallel edges collapse), ties
+    broken by the lexicographically least label.  The synchronous update
+    + total tie order makes the result a pure function of (graph,
+    n_iters): bit-identical on any partitioning, any engine — so a
+    plain-Python mirror can serve as the oracle.  (Run-to-convergence
+    LPA is ill-defined under synchronous updates — bipartite structures
+    oscillate — which is why the round count is part of the contract,
+    exactly like pagerank_fixed_point above.)
+
+    Scale: per round, one join of the undirected edge list to the label
+    table (shuffle on node id) and two grouped aggregations — the
+    (node, label) count combines map-side, so a hub's million neighbors
+    arrive pre-reduced per partition; argmax-with-tie is
+    ``min(struct(-cnt, label))``, another combining aggregate, never a
+    whole-neighborhood sort.  localCheckpoint per round cuts the
+    iterative lineage like the CC/PageRank loops.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    und = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "community", F.col("node")
+    )
+    for _ in range(n_iters):
+        nbr = und.join(
+            labels, und.b == labels.node, "inner"
+        ).select(F.col("a").alias("node"), "community")
+        counted = nbr.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counted.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("community").alias("community"),
+                    )
+                ).alias("best")
+            )
+            .select("node", F.col("best.community").alias("community"))
+            .localCheckpoint()
+        )
+    return labels

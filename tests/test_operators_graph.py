@@ -179,3 +179,90 @@ def test_comention_pairs_counts_and_guard(spark):
     }
     # turn 1 (5 entities) dropped entirely; only turn 2's single pair
     assert guarded == {("http://E0", "http://E1"): 1}
+
+
+def _lpa_mirror(pairs, n_iters):
+    from collections import defaultdict
+
+    und = sorted({(a, b) for a, b in pairs if a != b} | {
+        (b, a) for a, b in pairs if a != b
+    })
+    nbrs = defaultdict(list)
+    for a, b in und:
+        nbrs[a].append(b)
+    label = {v: v for v in nbrs}
+    for _ in range(n_iters):
+        label = {
+            v: min(
+                ((sum(1 for u in ns if label[u] == l), l)
+                 for l in {label[u] for u in ns}),
+                key=lambda kv: (-kv[0], kv[1]),
+            )[1]
+            for v, ns in nbrs.items()
+        }
+    return label
+
+
+def test_label_propagation_two_cliques(spark):
+    from json_ld_spark.operators.graph import label_propagation
+
+    # two disjoint triangles: each collapses to one community, labels
+    # never cross components; a bridged variant is covered by the mirror
+    # check below (min-label ties CAN flood across a bridge — that is
+    # LPA's documented behavior, not a bug)
+    pairs = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+    ]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, n_iters=5).collect()
+    }
+    assert got == _lpa_mirror(pairs, 5)
+    assert len({got["a1"], got["a2"], got["a3"]}) == 1
+    assert len({got["b1"], got["b2"], got["b3"]}) == 1
+    assert got["a1"] != got["b1"]
+
+    bridged = pairs + [("a1", "b1")]
+    edges_b = spark.createDataFrame(bridged, "src string, dst string")
+    got_b = {
+        r.node: r.community
+        for r in label_propagation(edges_b, n_iters=5).collect()
+    }
+    assert got_b == _lpa_mirror(bridged, 5)
+
+
+def test_label_propagation_direction_selfloop_parallel_collapse(spark):
+    from json_ld_spark.operators.graph import label_propagation
+
+    pairs = [
+        ("x", "y"), ("y", "x"),          # both directions = one edge
+        ("x", "y"),                       # parallel duplicate
+        ("z", "z"),                       # self-loop: dropped entirely
+        ("y", "w"),
+    ]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, n_iters=3).collect()
+    }
+    assert set(got) == {"x", "y", "w"}  # z had only the self-loop
+    assert got == _lpa_mirror(pairs, 3)
+
+
+def test_label_propagation_partitioning_invariant(spark):
+    from json_ld_spark.operators.graph import label_propagation
+
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(40)]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    a = sorted(
+        map(tuple, label_propagation(edges, n_iters=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(edges.repartition(13), n_iters=4).collect(),
+        )
+    )
+    assert a == b == sorted(_lpa_mirror(pairs, 4).items())

@@ -1107,6 +1107,53 @@ def write_pagerank(out_dir: str, n_iters: int = 10) -> None:
     print(f"wrote pagerank: {len(top)} rows (graph: {n} nodes, {len(pairs)} edges)")
 
 
+
+
+def write_label_propagation(out_dir: str, n_iters: int = 5) -> None:
+    """Pure-python mirror of operators/graph.label_propagation over the
+    golden canonical edges (synchronous LPA, min-label tie-break: a pure
+    function of (graph, n_iters), so the comparison is bit-exact)."""
+    et = pq.read_table(os.path.join(out_dir, "edges.parquet"))
+    pairs = {
+        (s, d)
+        for s, d in zip(
+            et.column("src_canon").to_pylist(),
+            et.column("dst_canon").to_pylist(),
+        )
+        if s != d and s is not None and d is not None
+    }
+    und = sorted(pairs | {(d, s) for s, d in pairs})
+    nbrs: dict[str, list[str]] = defaultdict(list)
+    for a, b in und:
+        nbrs[a].append(b)
+    label = {v: v for v in nbrs}
+    for _ in range(n_iters):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt: dict[str, int] = defaultdict(int)
+            for u in ns:
+                cnt[label[u]] += 1
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        label = new
+    rows = sorted(label.items())
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], type=pa.string()),
+                pa.array([r[1] for r in rows], type=pa.string()),
+            ],
+            names=["node", "community"],
+        ),
+        os.path.join(out_dir, "lp_communities.parquet"),
+    )
+    n_comm = len(set(label.values()))
+    print(
+        f"wrote lp_communities: {len(rows)} nodes, {n_comm} communities"
+    )
+
+
+
+
 # -------------------------------------------------------------- kmeans
 
 def write_kmeans(
@@ -1704,6 +1751,7 @@ def main() -> int:
     write_error_stats(transcripts, out_dir)
     write_nodes_edges(rows, out_dir)
     write_pagerank(out_dir)
+    write_label_propagation(out_dir)
     hot = pd.read_parquet(os.path.join(out_dir, "transcripts_hot.parquet"))
     write_triples(hot, out_dir, "triples_hot")
 
