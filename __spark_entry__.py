@@ -179,6 +179,26 @@ def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-region filter over the canonical graph: the maximal 2-core
+    (operators/graph.kcore) — iterative peeling, one degree aggregation +
+    two semi-joins per round, survivor-count scalar as the only
+    driver-side data.  The maximal k-core is mathematically unique, so
+    the plain-Python peeling mirror over the golden edges
+    (tools/make_golden.write_kcore) is bit-exact.  318 of 813 nodes
+    survive at sf0.01."""
+    from json_ld_spark.operators.graph import kcore
+    from json_ld_spark.pipeline.entity import canonicalize
+
+    _, _, edges = canonicalize(_clean_triples(spark, sf_dir), materialize=True)
+    return kcore(
+        edges.select(
+            F.col("src_canon").alias("src"), F.col("dst_canon").alias("dst")
+        ),
+        k=2,
+    ).orderBy("node")
+
+
 def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree profile of the canonical graph — and the suite's full-outer
     join coverage point (source-only and sink-only nodes must both
@@ -1422,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _kg_edges,
         "kg_pagerank": _kg_pagerank,
         "kg_communities": _kg_communities,
+        "kg_kcore": _kg_kcore,
         "kg_degree_stats": _kg_degree_stats,
         "kg_khop": _kg_khop,
         "kg_triangles": _kg_triangles,
@@ -1646,6 +1667,12 @@ def oracle_sql() -> dict[str, str]:
             # (tools/make_golden.write_label_propagation)
             "SELECT node, community "
             f"FROM read_parquet('{_GOLDEN}/lp_communities.parquet') "
+            "ORDER BY node"
+        ),
+        "kg_kcore": (
+            # plain-Python peeling mirror (tools/make_golden.write_kcore)
+            "SELECT node, core_degree "
+            f"FROM read_parquet('{_GOLDEN}/kcore.parquet') "
             "ORDER BY node"
         ),
         "kg_degree_stats": (

@@ -266,3 +266,59 @@ def test_label_propagation_partitioning_invariant(spark):
         )
     )
     assert a == b == sorted(_lpa_mirror(pairs, 4).items())
+
+
+def _kcore_mirror(pairs, k):
+    from collections import defaultdict
+
+    und = {(a, b) for a, b in pairs if a != b}
+    und |= {(b, a) for a, b in und}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+    alive = set(nbrs)
+    while True:
+        drop = {v for v in alive if len(nbrs[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return sorted((v, len(nbrs[v] & alive)) for v in alive)
+
+
+def test_kcore_peels_hair_keeps_cliques(spark):
+    from json_ld_spark.operators.graph import kcore
+
+    # triangle + pendant chain: 2-core = the triangle only
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    got = sorted(map(tuple, kcore(edges, k=2).collect()))
+    assert got == [("a", 2), ("b", 2), ("c", 2)] == _kcore_mirror(pairs, 2)
+
+
+def test_kcore_cascading_removal(spark):
+    from json_ld_spark.operators.graph import kcore
+
+    # removing the chain end cascades: every round drops one more node
+    pairs = [("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4")]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    assert kcore(edges, k=2).count() == 0
+    assert _kcore_mirror(pairs, 2) == []
+
+
+def test_kcore_k3_and_validation(spark):
+    from json_ld_spark.operators.graph import kcore
+
+    import pytest as _pytest
+
+    # K4 minus one edge has max core 2; full K4 is a 3-core
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    edges = spark.createDataFrame(k4, "src string, dst string")
+    assert sorted(map(tuple, kcore(edges, k=3).collect())) == _kcore_mirror(k4, 3)
+    assert len(_kcore_mirror(k4, 3)) == 4
+
+    missing = k4[:-1]
+    e2 = spark.createDataFrame(missing, "src string, dst string")
+    assert kcore(e2, k=3).count() == 0
+
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore(edges, k=0)

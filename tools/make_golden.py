@@ -1154,6 +1154,44 @@ def write_label_propagation(out_dir: str, n_iters: int = 5) -> None:
 
 
 
+
+def write_kcore(out_dir: str, k: int = 2) -> None:
+    """Pure-python peeling mirror of operators/graph.kcore over the golden
+    canonical edges (the maximal k-core is unique, so any removal order
+    reaches the same fixpoint — bit-exact)."""
+    et = pq.read_table(os.path.join(out_dir, "edges.parquet"))
+    pairs = {
+        (s, d)
+        for s, d in zip(
+            et.column("src_canon").to_pylist(),
+            et.column("dst_canon").to_pylist(),
+        )
+        if s != d and s is not None and d is not None
+    }
+    und = pairs | {(d, s) for s, d in pairs}
+    nbrs: dict[str, set] = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+    alive = set(nbrs)
+    while True:
+        drop = {v for v in alive if len(nbrs[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    rows = sorted((v, len(nbrs[v] & alive)) for v in alive)
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], type=pa.string()),
+                pa.array([r[1] for r in rows], type=pa.int64()),
+            ],
+            names=["node", "core_degree"],
+        ),
+        os.path.join(out_dir, "kcore.parquet"),
+    )
+    print(f"wrote kcore: {len(rows)} nodes in the {k}-core")
+
+
 # -------------------------------------------------------------- kmeans
 
 def write_kmeans(
@@ -1752,6 +1790,7 @@ def main() -> int:
     write_nodes_edges(rows, out_dir)
     write_pagerank(out_dir)
     write_label_propagation(out_dir)
+    write_kcore(out_dir)
     hot = pd.read_parquet(os.path.join(out_dir, "transcripts_hot.parquet"))
     write_triples(hot, out_dir, "triples_hot")
 
