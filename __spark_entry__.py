@@ -199,6 +199,42 @@ def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _kg_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity freshness/provenance panel (pipeline/audit.
+    entity_timeline): first/last assertion epoch, distinct turn and
+    conversation counts, raw assertion count for every IRI subject —
+    the decay signal an incremental pipeline uses to expire stale
+    nodes.  One pruned fact-to-timestamp equi-join + one grouped agg.
+    Oracle: plain DuckDB SQL joining the golden triples to the golden
+    transcripts."""
+    from json_ld_spark.pipeline.audit import entity_timeline
+    from json_ld_spark.pipeline.transcripts import synth_transcripts
+
+    return entity_timeline(
+        _clean_triples(spark, sf_dir), synth_transcripts(spark, sf_dir)
+    ).orderBy("entity")
+
+
+def _kg_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-completion candidates (operators/graph.link_candidates):
+    top-50 non-adjacent pairs by scaled-integer Jaccard over neighbor
+    sets, common neighbors counted through degree-capped centers (the
+    wedge-explosion hub guard — a shared hub is weak linkage evidence).
+    Oracle: the identical capped statistic in plain DuckDB SQL over the
+    golden edges."""
+    from json_ld_spark.operators.graph import link_candidates
+    from json_ld_spark.pipeline.entity import canonicalize
+
+    _, _, edges = canonicalize(_clean_triples(spark, sf_dir), materialize=True)
+    return link_candidates(
+        edges.select(
+            F.col("src_canon").alias("src"), F.col("dst_canon").alias("dst")
+        ),
+        max_center_degree=64,
+        k=50,
+    )
+
+
 def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree profile of the canonical graph — and the suite's full-outer
     join coverage point (source-only and sink-only nodes must both
@@ -1443,6 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_communities": _kg_communities,
         "kg_kcore": _kg_kcore,
+        "kg_linkpred": _kg_linkpred,
+        "kg_entity_timeline": _kg_entity_timeline,
         "kg_degree_stats": _kg_degree_stats,
         "kg_khop": _kg_khop,
         "kg_triangles": _kg_triangles,
@@ -1674,6 +1712,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, core_degree "
             f"FROM read_parquet('{_GOLDEN}/kcore.parquet') "
             "ORDER BY node"
+        ),
+        "kg_linkpred": (
+            # the identical capped common-neighbor statistic computed by
+            # DuckDB from the golden edges (integer Jaccard, ANTI JOIN
+            # for non-adjacency)
+            "WITH e AS (SELECT DISTINCT src_canon AS a, dst_canon AS b "
+            f"FROM read_parquet('{_GOLDEN}/edges.parquet') "
+            "WHERE src_canon <> dst_canon), "
+            "und AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a), "
+            "centers AS (SELECT a AS c FROM deg WHERE deg <= 64), "
+            "spokes AS (SELECT u.a AS c, u.b AS n FROM und u "
+            "JOIN centers ct ON u.a = ct.c), "
+            "wedges AS (SELECT l.n AS a, r.n AS b FROM spokes l "
+            "JOIN spokes r ON l.c = r.c AND l.n < r.n), "
+            "pairs AS (SELECT a, b, count(*) AS n_common FROM wedges "
+            "GROUP BY a, b), "
+            "nonadj AS (SELECT p.a, p.b, p.n_common FROM pairs p "
+            "ANTI JOIN und u ON p.a = u.a AND p.b = u.b), "
+            "scored AS (SELECT p.a, p.b, p.n_common::BIGINT AS n_common, "
+            "da.deg::BIGINT AS deg_a, db.deg::BIGINT AS deg_b, "
+            "((p.n_common * 1000000) // (da.deg + db.deg - p.n_common))"
+            "::BIGINT AS jaccard_s "
+            "FROM nonadj p JOIN deg da ON p.a = da.a "
+            "JOIN deg db ON p.b = db.a) "
+            "SELECT a, b, n_common, deg_a, deg_b, jaccard_s FROM scored "
+            "ORDER BY jaccard_s DESC, n_common DESC, a, b LIMIT 50"
+        ),
+        "kg_entity_timeline": (
+            # epoch() here is absolute (same convention as
+            # rel_time_gapfill's bucket_epoch); substr beats LIKE for the
+            # bnode prefix test (underscore is a LIKE wildcard)
+            "WITH t AS (SELECT conv_id, turn_idx, subj "
+            f"FROM {_G_TRIPLES} WHERE error_code IS NULL "
+            "AND substr(subj, 1, 2) <> '_:'), "
+            "ts AS (SELECT conv_id, turn_idx, epoch(ts)::BIGINT AS tse "
+            f"FROM {_G_TRANSCRIPTS}) "
+            "SELECT subj AS entity, min(tse)::BIGINT AS first_seen, "
+            "max(tse)::BIGINT AS last_seen, "
+            "count(DISTINCT conv_id || '#' || turn_idx::VARCHAR)::BIGINT "
+            "AS n_turns, "
+            "count(DISTINCT conv_id)::BIGINT AS n_convs, "
+            "count(*)::BIGINT AS n_assertions "
+            "FROM t JOIN ts USING (conv_id, turn_idx) "
+            "GROUP BY subj ORDER BY entity"
         ),
         "kg_degree_stats": (
             f"WITH o AS (SELECT src_canon AS node, count(*) AS out_degree "

@@ -445,3 +445,84 @@ def kcore(
     raise RuntimeError(
         f"k-core peeling did not converge within {max_rounds} rounds"
     )
+
+
+def link_candidates(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int = 64,
+    k: int = 50,
+) -> DataFrame:
+    """Link prediction by common neighbors: the top-``k`` NON-adjacent
+    node pairs ranked by shared-neighbor count (entity-resolution's "are
+    these two the same thing?" shortlist, and a KG-completion candidate
+    generator).  Returns (a, b, n_common, deg_a, deg_b, jaccard_s) with
+    ``jaccard_s = (n_common * 10^6) div (deg_a + deg_b - n_common)`` —
+    scaled-integer Jaccard over the neighbor sets, exact in any engine.
+
+    Hub guard (the wedge-explosion killer): common neighbors are counted
+    through CENTER nodes of degree ≤ ``max_center_degree`` only.  A hub
+    with 10^6 neighbors would otherwise emit 10^12 wedges; capping the
+    *center* bounds per-node wedge fan-out at cap² while leaving the
+    candidates themselves unrestricted — and a shared hub is weak
+    linkage evidence anyway (the same reasoning as TF-IDF downweighting
+    a stopword).  The statistic is "common neighbors of degree ≤ cap",
+    deterministic — not a sample — so the oracle replicates it exactly.
+    ``deg_a``/``deg_b`` stay FULL degrees (the Jaccard denominator is
+    not capped; documented asymmetry).
+
+    Plan: degree agg → center-restricted wedge self-join on the center
+    (per-task fan-out ≤ cap per center row) → pair count with map-side
+    combine → anti-join the existing undirected edges → join full
+    degrees → TakeOrdered.  Tie-break (score, n_common) DESC then (a, b)
+    ASC makes the top-k unique.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    und = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.where(F.col("deg") <= max_center_degree).select(
+        F.col("a").alias("c")
+    )
+    spokes = und.select(F.col("a").alias("c"), F.col("b").alias("n")).join(
+        centers, "c", "left_semi"
+    )
+    wedges = (
+        spokes.alias("l")
+        .join(spokes.alias("r"), "c")
+        .where(F.col("l.n") < F.col("r.n"))
+        .select(F.col("l.n").alias("a"), F.col("r.n").alias("b"))
+    )
+    pairs = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_common"))
+    non_adjacent = pairs.join(
+        und.select(F.col("a"), F.col("b")), ["a", "b"], "left_anti"
+    )
+    with_deg = (
+        non_adjacent.join(deg.select(F.col("a"), F.col("deg").alias("deg_a")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        .withColumn(
+            "jaccard_s",
+            F.expr("(n_common * 1000000L) div (deg_a + deg_b - n_common)"),
+        )
+    )
+    return (
+        with_deg.select("a", "b", "n_common", "deg_a", "deg_b", "jaccard_s")
+        .orderBy(
+            F.col("jaccard_s").desc(),
+            F.col("n_common").desc(),
+            F.col("a").asc(),
+            F.col("b").asc(),
+        )
+        .limit(k)
+    )

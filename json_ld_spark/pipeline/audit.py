@@ -175,3 +175,43 @@ def conv_stats(transcripts: DataFrame) -> DataFrame:
         )
         .orderBy("conv_id")
     )
+
+
+def entity_timeline(triples: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Per-entity activity profile over the extraction: first/last time an
+    IRI subject was asserted (epoch seconds), how many distinct turns and
+    conversations mention it, and its raw assertion count — the freshness
+    / provenance panel a KG browser shows next to an entity, and the
+    decay signal an incremental pipeline uses to expire stale nodes.
+
+    One equi-join of the (conv_id, turn_idx, subj) projection to the
+    transcript timestamps (both sides pruned to three columns, Catalyst
+    pushes the column pruning into the scans), then one groupBy(subj)
+    with map-side combine — two bounded shuffles regardless of corpus
+    size; hub entities arrive at the final aggregation pre-reduced.
+
+    ``n_turns``/``n_convs`` count DISTINCT via a ``conv_id#turn_idx``
+    concat key (the portable form of multi-column COUNT DISTINCT: the
+    DuckDB oracle has no multi-arg variant).  Epochs are absolute
+    ``unix_timestamp`` values, same convention as rel_time_gapfill's
+    bucket_epoch.
+    """
+    t = triples.where(~F.col("subj").startswith("_:")).select(
+        "conv_id", "turn_idx", "subj"
+    )
+    ts = transcripts.select(
+        "conv_id", "turn_idx", F.unix_timestamp("ts").alias("tse")
+    )
+    return (
+        t.join(ts, ["conv_id", "turn_idx"])
+        .groupBy(F.col("subj").alias("entity"))
+        .agg(
+            F.min("tse").alias("first_seen"),
+            F.max("tse").alias("last_seen"),
+            F.countDistinct(
+                F.concat_ws("#", "conv_id", "turn_idx")
+            ).alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_assertions"),
+        )
+    )

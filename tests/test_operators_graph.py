@@ -322,3 +322,42 @@ def test_kcore_k3_and_validation(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         kcore(edges, k=0)
+
+
+def test_link_candidates_basic(spark):
+    from json_ld_spark.operators.graph import link_candidates
+
+    # path a-c-b: a,b share center c and are non-adjacent
+    # plus adjacent pair (a,c) must never appear
+    pairs = [("a", "c"), ("c", "b"), ("a", "d"), ("d", "b")]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    rows = link_candidates(edges, k=10).collect()
+    got = {(r.a, r.b): (r.n_common, r.deg_a, r.deg_b, r.jaccard_s) for r in rows}
+    # a,b share c and d -> n_common=2, deg 2 each, jaccard 2/(2+2-2)=1.0
+    assert got[("a", "b")] == (2, 2, 2, 1_000_000)
+    # c,d share a and b -> symmetric candidate
+    assert got[("c", "d")] == (2, 2, 2, 1_000_000)
+    assert len(got) == 2  # no adjacent pair leaks in
+
+
+def test_link_candidates_center_degree_guard(spark):
+    from json_ld_spark.operators.graph import link_candidates
+
+    # hub h connects x and y; with max_center_degree below h's degree the
+    # hub cannot vouch for them
+    pairs = [("h", f"s{i}") for i in range(5)] + [("h", "x"), ("h", "y")]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    assert link_candidates(edges, max_center_degree=6, k=100).count() == 0
+    # raising the cap re-admits the hub as a center: all spoke pairs appear
+    n = link_candidates(edges, max_center_degree=7, k=1000).count()
+    assert n == 21  # C(7,2) spoke pairs, none adjacent to each other
+
+
+def test_link_candidates_deterministic_topk(spark):
+    from json_ld_spark.operators.graph import link_candidates
+
+    pairs = [(f"u{i}", f"v{i % 3}") for i in range(9)]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    a = [tuple(r) for r in link_candidates(edges, k=5).collect()]
+    b = [tuple(r) for r in link_candidates(edges.repartition(7), k=5).collect()]
+    assert a == b and len(a) == 5

@@ -110,3 +110,40 @@ def test_conv_stats_profile(spark):
     c2 = rows["c2"]
     assert c2["n_turns"] == 1 and c2["duration_s"] == 0
     assert c2["max_gap_s"] is None  # no second turn, no gap
+
+
+def test_entity_timeline(spark):
+    import datetime as dt
+
+    from json_ld_spark.pipeline.audit import entity_timeline
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 12, m, 0)
+
+    triples = spark.createDataFrame(
+        [
+            ("c1", 0, "http://e/a"),
+            ("c1", 0, "http://e/a"),   # second assertion, same turn
+            ("c1", 2, "http://e/a"),
+            ("c2", 0, "http://e/a"),
+            ("c2", 0, "_:b0"),          # blank subject excluded
+            ("c1", 2, "http://e/b"),
+        ],
+        "conv_id string, turn_idx int, subj string",
+    )
+    transcripts = spark.createDataFrame(
+        [("c1", 0, ts(0)), ("c1", 2, ts(10)), ("c2", 0, ts(5))],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    got = {
+        r.entity: (r.first_seen, r.last_seen, r.n_turns, r.n_convs, r.n_assertions)
+        for r in entity_timeline(triples, transcripts).collect()
+    }
+    base = int(ts(0).replace(tzinfo=dt.timezone.utc).timestamp())
+    # session tz is whatever the harness runs; compare relative spans
+    a = got["http://e/a"]
+    assert a[1] - a[0] == 600          # first c1#0, last c1#2
+    assert a[2:] == (3, 2, 4)          # 3 turns, 2 convs, 4 assertions
+    b = got["http://e/b"]
+    assert b[0] == b[1] and b[2:] == (1, 1, 1)
+    assert "_:b0" not in got
