@@ -235,6 +235,35 @@ def _kg_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_char_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte ICDE 2011) over the
+    extraction (pipeline/audit.characteristic_sets): per-subject
+    predicate-set profiles with subject/triple counts — the cardinality
+    statistic a SPARQL planner reads for star-join estimation.  Two
+    map-side-combining aggregations; the per-subject set is bounded by
+    the predicate vocabulary, not assertion count.  Oracle: plain DuckDB
+    SQL (string_agg DISTINCT ... ORDER BY)."""
+    from json_ld_spark.pipeline.audit import characteristic_sets
+
+    return characteristic_sets(_clean_triples(spark, sf_dir)).orderBy("cset")
+
+
+def _train_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training negatives (operators/training.
+    negative_samples): 2 deterministic corrupted-tail draws per distinct
+    IRI-object positive, via the repo's cross-engine md5 uniform hash
+    mod a dense entity-id table built WITHOUT a global single-partition
+    sort (bucketed parallel ranking + broadcast offsets,
+    assign_dense_ids).  Collisions with the true tail are flagged, not
+    dropped.  Oracle: the identical bucketed id assignment + draw in
+    plain DuckDB SQL."""
+    from json_ld_spark.operators.training import negative_samples
+
+    return negative_samples(
+        _clean_triples(spark, sf_dir), n_neg=2
+    ).orderBy("src", "pred", "dst", "neg_rank")
+
+
 def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree profile of the canonical graph — and the suite's full-outer
     join coverage point (source-only and sink-only nodes must both
@@ -1481,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _kg_kcore,
         "kg_linkpred": _kg_linkpred,
         "kg_entity_timeline": _kg_entity_timeline,
+        "kg_char_sets": _kg_char_sets,
         "kg_degree_stats": _kg_degree_stats,
         "kg_khop": _kg_khop,
         "kg_triangles": _kg_triangles,
@@ -1538,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_neardup_clusters": _train_clusters,
         "train_curate": _train_curate,
         "train_kmeans": _train_kmeans,
+        "train_negatives": _train_negatives,
         # multimodal plumbing (decode stubbed; plan/schema real)
         "mm_features": _mm_features,
         "mm_decode_stats": _mm_decode_stats,
@@ -1739,6 +1770,49 @@ def oracle_sql() -> dict[str, str]:
             "JOIN deg db ON p.b = db.a) "
             "SELECT a, b, n_common, deg_a, deg_b, jaccard_s FROM scored "
             "ORDER BY jaccard_s DESC, n_common DESC, a, b LIMIT 50"
+        ),
+        "kg_char_sets": (
+            "WITH per AS (SELECT subj, "
+            "string_agg(DISTINCT pred, ',' ORDER BY pred) AS cset, "
+            "count(*) AS nt "
+            f"FROM {_G_TRIPLES} WHERE error_code IS NULL GROUP BY subj) "
+            "SELECT cset, len(string_split(cset, ','))::BIGINT AS n_preds, "
+            "count(*)::BIGINT AS n_subjects, sum(nt)::BIGINT AS n_triples "
+            "FROM per GROUP BY cset ORDER BY cset"
+        ),
+        "train_negatives": (
+            # identical bucketed dense-id assignment + md5 draw, computed
+            # by DuckDB end-to-end (windows, running offset, integer mod)
+            "WITH pos AS (SELECT DISTINCT subj AS src, pred, "
+            "obj_value AS dst "
+            f"FROM {_G_TRIPLES} WHERE error_code IS NULL "
+            "AND obj_kind = 'iri'), "
+            "pool AS (SELECT src AS entity FROM pos "
+            "UNION SELECT dst FROM pos), "
+            "bucketed AS (SELECT entity, "
+            "('0x' || substring(md5(entity || '#bucket'), 1, 8))::BIGINT "
+            "% 64 AS bucket FROM pool), "
+            "ranked AS (SELECT entity, bucket, "
+            "row_number() OVER (PARTITION BY bucket ORDER BY entity) - 1 "
+            "AS rn FROM bucketed), "
+            "counts AS (SELECT bucket, count(*) AS n FROM ranked "
+            "GROUP BY bucket), "
+            "offs AS (SELECT bucket, coalesce(sum(n) OVER "
+            "(ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS off FROM counts), "
+            "ids AS (SELECT r.entity, o.off + r.rn AS id "
+            "FROM ranked r JOIN offs o USING (bucket)), "
+            "nent AS (SELECT count(*) AS n FROM ids), "
+            "fanned AS (SELECT src, pred, dst, neg_rank FROM pos, "
+            "(VALUES (0), (1)) AS v(neg_rank)), "
+            "drawn AS (SELECT src, pred, dst, neg_rank, "
+            "('0x' || substring(md5(src || '|' || pred || '|' || dst || "
+            "'|' || neg_rank::VARCHAR || '|#neg'), 1, 8))::BIGINT "
+            "% (SELECT n FROM nent) AS neg_id FROM fanned) "
+            "SELECT src, pred, dst, neg_rank::BIGINT AS neg_rank, "
+            "i.entity AS neg_dst, (i.entity = dst) AS collides "
+            "FROM drawn d JOIN ids i ON d.neg_id = i.id "
+            "ORDER BY src, pred, dst, neg_rank"
         ),
         "kg_entity_timeline": (
             # epoch() here is absolute (same convention as

@@ -342,3 +342,141 @@ def kmeans_clusters(
         F.col("best.d").alias("dist2"),
     )
     return out.orderBy("vec_id")
+
+
+def assign_dense_ids(
+    values: DataFrame,
+    col: str,
+    n_buckets: int = 64,
+    salt: str = "bucket",
+) -> DataFrame:
+    """Contiguous deterministic ids ``0..n-1`` for a distinct value set,
+    WITHOUT a single-partition global sort (the classic row_number-over-
+    everything scale killer): values hash into ``n_buckets`` buckets,
+    each bucket sorts independently (parallel window), and bucket ids
+    offset by a running sum over the tiny per-bucket count table.  The
+    id is a pure function of (value set, n_buckets, salt) — any engine
+    reproduces it — and per-bucket skew is hash-uniform by construction.
+
+    Returns (value, id).  Used by negative sampling below; also the
+    building block for embedding-table row assignment.
+    """
+    vals = values.select(F.col(col).alias("value")).distinct()
+    bucketed = vals.withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("value"), F.lit(f"#{salt}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets,
+    )
+    w = Window.partitionBy("bucket").orderBy("value")
+    ranked = bucketed.withColumn(
+        "rn", F.row_number().over(w).cast("long") - 1
+    )
+    counts = ranked.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("long"),
+    ).select("bucket", "offset")
+    # offsets is n_buckets rows — broadcast-sized by construction
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        "value", (F.col("offset") + F.col("rn")).alias("id")
+    )
+
+
+def negative_samples(
+    triples: DataFrame,
+    n_neg: int = 2,
+    n_buckets: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """Corrupted-tail negatives for KG-embedding training (TransE/DistMult
+    style): for every distinct (src, pred, dst) positive with an IRI
+    object, emit ``n_neg`` rows replacing the tail with a pseudo-random
+    entity drawn from the node pool — deterministically, so the training
+    set is replayable and the oracle bit-exact.
+
+    The draw is ``md5(src|pred|dst|rank#salt) mod n_entities`` (the
+    repo's cross-engine uniform-hash convention), joined back to the
+    dense-id entity table from :func:`assign_dense_ids` — an equi-join
+    on a hash-uniform integer key, so no skew is possible regardless of
+    graph shape.  A draw may collide with the true tail (standard in
+    this literature); it is emitted with ``collides=true`` so the
+    training loop can filter or re-weight rather than silently losing
+    the positive's negative budget.
+
+    Scale: one distinct over positives, the id assignment's parallel
+    per-bucket sort, a posexplode fan-out of exactly ``n_neg``, and one
+    integer equi-join.  Nothing driver-side, nothing quadratic.
+    """
+    if n_neg < 1:
+        raise ValueError("n_neg must be >= 1")
+    pos = (
+        triples.where(F.col("obj_kind") == F.lit("iri"))
+        .select(
+            F.col("subj").alias("src"),
+            F.col("pred").alias("pred"),
+            F.col("obj_value").alias("dst"),
+        )
+        .distinct()
+    )
+    pool = (
+        pos.select(F.col("src").alias("entity"))
+        .union(pos.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    ids = assign_dense_ids(pool, "entity", n_buckets=n_buckets).localCheckpoint()
+    n_entities = ids.count()
+    if n_entities == 0:
+        raise ValueError("no IRI entities to sample from")
+
+    fanned = pos.select(
+        "src",
+        "pred",
+        "dst",
+        F.posexplode(F.array(*[F.lit(i) for i in range(n_neg)])).alias(
+            "neg_rank", "_i"
+        ),
+    ).drop("_i")
+    drawn = fanned.withColumn(
+        "neg_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("src"),
+                        F.col("pred"),
+                        F.col("dst"),
+                        F.col("neg_rank").cast("string"),
+                        F.lit(f"#{salt}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_entities,
+    )
+    return drawn.join(
+        ids.select(F.col("id").alias("neg_id"), F.col("value").alias("neg_dst")),
+        "neg_id",
+    ).select(
+        "src",
+        "pred",
+        "dst",
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        "neg_dst",
+        (F.col("neg_dst") == F.col("dst")).alias("collides"),
+    )

@@ -215,3 +215,39 @@ def entity_timeline(triples: DataFrame, transcripts: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_assertions"),
         )
     )
+
+
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): for every
+    subject the SET of predicates it carries, aggregated into
+    (cset, n_preds, n_subjects, n_triples) — the RDF cardinality
+    statistic a SPARQL planner uses to estimate star-join result sizes
+    far more accurately than per-predicate histograms, and a structural
+    profile of which "entity shapes" the extraction actually produces.
+
+    Two grouped aggregations: per-subject ``collect_set(pred)`` (bounded
+    by the PREDICATE VOCABULARY, not by the subject's assertion count —
+    a hub with 10^6 assertions over 30 predicates carries a 30-element
+    set, and the set union combines map-side), then a groupBy on the
+    sorted comma-joined set string.  Both shuffles carry pre-reduced
+    rows.
+    """
+    per = triples.groupBy("subj").agg(
+        F.array_join(F.sort_array(F.collect_set("pred")), ",").alias("cset"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    return (
+        per.groupBy("cset")
+        .agg(
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.sum("nt").alias("n_triples"),
+        )
+        .select(
+            "cset",
+            F.size(F.split(F.col("cset"), ",", -1)).cast("long").alias(
+                "n_preds"
+            ),
+            "n_subjects",
+            "n_triples",
+        )
+    )

@@ -242,3 +242,50 @@ def test_kmeans_requires_k_vectors(spark):
     df, _ = _kmeans_fixture(spark, n=6)
     with pytest.raises(ValueError, match="need >= 8"):
         kmeans_clusters(df, k=8)
+
+
+def test_assign_dense_ids_is_permutation(spark):
+    from json_ld_spark.operators.training import assign_dense_ids
+
+    vals = spark.createDataFrame(
+        [(f"e{i}",) for i in range(100)], "entity string"
+    )
+    rows = assign_dense_ids(vals, "entity", n_buckets=8).collect()
+    assert sorted(r.id for r in rows) == list(range(100))
+    # deterministic across partitionings
+    again = assign_dense_ids(
+        vals.repartition(7), "entity", n_buckets=8
+    ).collect()
+    assert {(r.value, r.id) for r in rows} == {(r.value, r.id) for r in again}
+
+
+def test_negative_samples_contract(spark):
+    from json_ld_spark.operators.training import negative_samples
+
+    triples = spark.createDataFrame(
+        [
+            ("http://a", "knows", "iri", "http://b"),
+            ("http://b", "knows", "iri", "http://c"),
+            ("http://a", "name", "literal", "Alice"),  # excluded: literal
+            ("http://a", "knows", "iri", "http://b"),  # dup positive
+        ],
+        "subj string, pred string, obj_kind string, obj_value string",
+    )
+    out = negative_samples(triples, n_neg=3).collect()
+    # 2 distinct positives x 3 draws
+    assert len(out) == 6
+    pool = {"http://a", "http://b", "http://c"}
+    for r in out:
+        assert r.neg_dst in pool
+        assert r.collides == (r.neg_dst == r.dst)
+    # replayable: same input -> same draws
+    again = negative_samples(triples, n_neg=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_neg"):
+        negative_samples(triples, n_neg=0)
+    only_lit = triples.where("obj_kind = 'literal'")
+    with _pytest.raises(ValueError, match="no IRI entities"):
+        negative_samples(only_lit, n_neg=1)

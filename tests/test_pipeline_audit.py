@@ -147,3 +147,22 @@ def test_entity_timeline(spark):
     b = got["http://e/b"]
     assert b[0] == b[1] and b[2:] == (1, 1, 1)
     assert "_:b0" not in got
+
+
+def test_characteristic_sets(spark):
+    from json_ld_spark.pipeline.audit import characteristic_sets
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "name"), ("s1", "knows"), ("s1", "knows"),
+            ("s2", "knows"), ("s2", "name"),
+            ("s3", "name"),
+        ],
+        "subj string, pred string",
+    )
+    got = {
+        r.cset: (r.n_preds, r.n_subjects, r.n_triples)
+        for r in characteristic_sets(triples).collect()
+    }
+    # s1 and s2 share {knows,name}; s1 carries 3 triples, s2 carries 2
+    assert got == {"knows,name": (2, 2, 5), "name": (1, 1, 1)}
