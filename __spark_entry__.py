@@ -264,6 +264,29 @@ def _train_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "pred", "dst", "neg_rank")
 
 
+def _kg_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (pipeline/audit.plan_compaction) — the
+    maintenance task behind every streaming-ingest table.  The file
+    listing is synthesized deterministically from the documents table
+    (partition=source, path=part-<doc_id>, bytes=n_chars) standing in
+    for Iceberg's .files metadata table; target 4 KiB packs ~15 files
+    per group at sf0.01.  One window cumsum over (partition, path) + one
+    grouped size join — integer arithmetic over metadata only.  Oracle:
+    the same greedy streaming pack in plain DuckDB window SQL."""
+    from json_ld_spark.pipeline.audit import plan_compaction
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("partition"),
+        F.concat(
+            F.lit("part-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        ).alias("path"),
+        F.col("n_chars").cast("long").alias("bytes"),
+    )
+    return plan_compaction(files, target_bytes=4096).orderBy(
+        "partition", "path"
+    )
+
+
 def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree profile of the canonical graph — and the suite's full-outer
     join coverage point (source-only and sink-only nodes must both
@@ -1511,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linkpred": _kg_linkpred,
         "kg_entity_timeline": _kg_entity_timeline,
         "kg_char_sets": _kg_char_sets,
+        "kg_compaction_plan": _kg_compaction_plan,
         "kg_degree_stats": _kg_degree_stats,
         "kg_khop": _kg_khop,
         "kg_triangles": _kg_triangles,
@@ -1813,6 +1837,22 @@ def oracle_sql() -> dict[str, str]:
             "i.entity AS neg_dst, (i.entity = dst) AS collides "
             "FROM drawn d JOIN ids i ON d.neg_id = i.id "
             "ORDER BY src, pred, dst, neg_rank"
+        ),
+        "kg_compaction_plan": (
+            "WITH files AS (SELECT source AS partition, "
+            "'part-' || lpad(doc_id::VARCHAR, 8, '0') AS path, "
+            "n_chars::BIGINT AS bytes FROM documents), "
+            "cum AS (SELECT partition, path, bytes, "
+            "coalesce(sum(bytes) OVER (PARTITION BY partition "
+            "ORDER BY path ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0)::BIGINT // 4096 AS grp FROM files), "
+            "sizes AS (SELECT partition, grp, count(*)::BIGINT "
+            "AS group_files, sum(bytes)::BIGINT AS group_bytes "
+            "FROM cum GROUP BY partition, grp) "
+            "SELECT c.partition, c.path, c.bytes, c.grp AS group, "
+            "s.group_files, s.group_bytes "
+            "FROM cum c JOIN sizes s ON c.partition = s.partition "
+            "AND c.grp = s.grp ORDER BY c.partition, c.path"
         ),
         "kg_entity_timeline": (
             # epoch() here is absolute (same convention as

@@ -251,3 +251,50 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
             "n_triples",
         )
     )
+
+
+def plan_compaction(
+    files: DataFrame, target_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Small-file compaction plan — THE maintenance task behind a
+    streaming-ingest table (every micro-batch commit appends files far
+    below the optimal scan size; Iceberg calls the fix ``rewrite_data_
+    files``, Delta calls it OPTIMIZE).  Given a file listing
+    (partition, path, bytes), assign each file a ``group`` such that
+    consecutive files within a partition pack to ~``target_bytes``, and
+    report per-file ``group_files``/``group_bytes`` so the executor of
+    the plan can skip singleton groups that are already well-sized.
+
+    The packing is the deterministic streaming variant of first-fit:
+    files order by path within their partition, and
+    ``group = (cumsative_bytes_before_file) div target_bytes`` — one
+    window over the (partition, path) sort, one grouped count/sum joined
+    back on (partition, group).  A group may overshoot by at most one
+    file (the standard greedy guarantee); a file larger than
+    ``target_bytes`` lands in its own group.  Everything is integer
+    arithmetic over the FILE LISTING (metadata, ~10^6 rows for a 10^12-
+    row table), so the plan costs nothing next to the rewrite itself —
+    and the same query works on Iceberg's ``.files`` metadata table
+    verbatim.
+    """
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    w = Window.partitionBy("partition").orderBy("path")
+    cum = files.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("bytes").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    ).withColumn(
+        "group", F.expr(f"cum_before div {int(target_bytes)}L").cast("long")
+    )
+    sizes = cum.groupBy("partition", "group").agg(
+        F.count(F.lit(1)).alias("group_files"),
+        F.sum("bytes").alias("group_bytes"),
+    )
+    return cum.join(sizes, ["partition", "group"]).select(
+        "partition", "path", "bytes", "group", "group_files", "group_bytes"
+    )

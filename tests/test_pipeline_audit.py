@@ -166,3 +166,31 @@ def test_characteristic_sets(spark):
     }
     # s1 and s2 share {knows,name}; s1 carries 3 triples, s2 carries 2
     assert got == {"knows,name": (2, 2, 5), "name": (1, 1, 1)}
+
+
+def test_plan_compaction(spark):
+    from json_ld_spark.pipeline.audit import plan_compaction
+
+    files = spark.createDataFrame(
+        [
+            ("p1", "f1", 60), ("p1", "f2", 60),   # pack together (<100 before f2)
+            ("p1", "f3", 60),                       # cum_before=120 -> group 1
+            ("p1", "f4", 250),                      # oversized: own group 1? cum=180 -> group 1
+            ("p2", "f1", 10),                       # partitions independent
+        ],
+        "partition string, path string, bytes long",
+    )
+    rows = {
+        (r.partition, r.path): (r.group, r.group_files, r.group_bytes)
+        for r in plan_compaction(files, target_bytes=100).collect()
+    }
+    assert rows[("p1", "f1")] == (0, 2, 120)
+    assert rows[("p1", "f2")] == (0, 2, 120)
+    assert rows[("p1", "f3")] == (1, 2, 310)   # 120 div 100 = 1
+    assert rows[("p1", "f4")] == (1, 2, 310)   # 180 div 100 = 1
+    assert rows[("p2", "f1")] == (0, 1, 10)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_bytes"):
+        plan_compaction(files, target_bytes=0)
